@@ -1,0 +1,185 @@
+"""Batched LDPC encode / normalized min-sum decode as jitted array programs.
+
+TPU-first redesign of the reference's flooding belief-propagation decoder
+(reference: src/fec/ldpc_decoder.cpp:154-260): instead of per-edge C++ loops,
+messages live in a dense ``[batch, checks, max_degree]`` tensor and the
+gather/scatter between variable and check nodes is expressed as matmuls with
+a static one-hot edge matrix, so the whole iteration runs on the MXU and
+vectorizes over arbitrarily many codewords at once.
+
+Numeric contract matched to the reference:
+- normalized min-sum with factor 0.75, message clamp +/-50,
+- per-iteration hard-decision parity check with early exit (here: per-codeword
+  freeze + global early exit once every codeword in the batch converged),
+- LLR sign convention: positive LLR => bit 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ria_tpu.fec.ldpc_matrix import (
+    BLOCK_BITS,
+    CODE_PARAMS,
+    LLR_CLAMP,
+    MIN_SUM_FACTOR,
+    RECOMMENDED_ITERS,
+    get_code,
+)
+from ria_tpu.utils.bits import bits_to_bytes, bytes_to_bits
+
+
+class DecodeResult(NamedTuple):
+    info_bits: jnp.ndarray  # [B, k] uint8
+    success: jnp.ndarray    # [B] bool
+    iterations: jnp.ndarray  # [B] int32
+    llr_total: jnp.ndarray  # [B, n] float32 (posterior LLRs, for chase/HARQ)
+
+
+@functools.lru_cache(maxsize=None)
+def make_decoder(rate: str, max_iters: int | None = None):
+    """Build a jitted batched decoder: llrs [B, 648] -> DecodeResult."""
+    code = get_code(rate)
+    if max_iters is None:
+        max_iters = RECOMMENDED_ITERS[rate]
+    m, n, k, D = code.m, code.n, code.k, code.max_degree
+
+    gather = jnp.asarray(code.gather)          # [m*D, n]
+    mask = jnp.asarray(code.row_mask)          # [m, D]
+
+    def _check_update(v2c):
+        """Per-check two-min + sign-product, excluding self (min-sum)."""
+        sgn = jnp.where(v2c < 0, -1.0, 1.0)
+        sgn = jnp.where(mask, sgn, 1.0)
+        sign_prod = jnp.prod(sgn, axis=-1, keepdims=True)
+        absv = jnp.where(mask, jnp.abs(v2c), jnp.inf)
+        amin = jnp.argmin(absv, axis=-1)
+        is_min = jax.nn.one_hot(amin, D, dtype=jnp.bool_)
+        min1 = jnp.min(absv, axis=-1, keepdims=True)
+        min2 = jnp.min(jnp.where(is_min, jnp.inf, absv), axis=-1, keepdims=True)
+        excl_min = jnp.where(is_min, min2, min1)
+        # sign excluding edge e == sign_prod * sgn_e (sgn in {-1, +1})
+        c2v = sign_prod * sgn * excl_min * MIN_SUM_FACTOR
+        return jnp.where(mask, c2v, 0.0)
+
+    def decode(llrs: jnp.ndarray) -> DecodeResult:
+        B = llrs.shape[0]
+        llr_in = llrs.astype(jnp.float32)
+        v2c0 = (llr_in @ gather.T).reshape(B, m, D)
+
+        def parity_ok(llr_total):
+            hard = (llr_total < 0).astype(jnp.float32)
+            edge_bits = (hard @ gather.T).reshape(B, m, D)
+            syndrome = jnp.sum(edge_bits, axis=-1) % 2.0
+            return jnp.all(syndrome == 0.0, axis=-1)
+
+        def cond(carry):
+            _, _, done, _, it = carry
+            return (it < max_iters) & ~jnp.all(done)
+
+        def body(carry):
+            v2c, llr_total, done, iters, it = carry
+            c2v = _check_update(v2c)
+            llr_total_new = llr_in + (c2v.reshape(B, m * D) @ gather)
+            v2c_new = (llr_total_new @ gather.T).reshape(B, m, D) - c2v
+            v2c_new = jnp.clip(v2c_new, -LLR_CLAMP, LLR_CLAMP)
+            ok = parity_ok(llr_total_new)
+            upd = ~done
+            llr_total = jnp.where(upd[:, None], llr_total_new, llr_total)
+            v2c = jnp.where(upd[:, None, None], v2c_new, v2c)
+            iters = iters + upd.astype(jnp.int32)
+            done = done | ok
+            return (v2c, llr_total, done, iters, it + 1)
+
+        init = (
+            v2c0,
+            llr_in,
+            jnp.zeros(B, dtype=bool),
+            jnp.zeros(B, dtype=jnp.int32),
+            jnp.asarray(0, dtype=jnp.int32),
+        )
+        _, llr_total, done, iters, _ = jax.lax.while_loop(cond, body, init)
+        info_bits = (llr_total[:, :k] < 0).astype(jnp.uint8)
+        return DecodeResult(info_bits, done, iters, llr_total)
+
+    return jax.jit(decode)
+
+
+@functools.lru_cache(maxsize=None)
+def make_encoder(rate: str):
+    """Jitted batched systematic encoder: info_bits [B, k] -> codeword [B, 648]."""
+    code = get_code(rate)
+    h_data = jnp.asarray(code.h_data)
+
+    def encode(info_bits: jnp.ndarray) -> jnp.ndarray:
+        info_f = info_bits.astype(jnp.float32)
+        parity = (info_f @ h_data.T) % 2.0
+        return jnp.concatenate([info_f, parity], axis=-1).astype(jnp.uint8)
+
+    return jax.jit(encode)
+
+
+class LDPCCodec:
+    """Host-facing codec with the reference's multi-block byte semantics.
+
+    Mirrors LDPCEncoder::encode / LDPCDecoder::decodeSoft bit-level block
+    handling (reference: src/fec/ldpc_encoder.cpp:193-257,
+    src/fec/ldpc_decoder.cpp:286-430): input bits are consumed k at a time
+    (zero-padded at the tail), each block emits n coded bits, and decoded
+    info bits are concatenated before the single final byte-pack so that
+    non-byte-aligned k (e.g. R3/4 k=486) stays bit-exact across blocks.
+    """
+
+    def __init__(self, rate: str, max_iters: int | None = None):
+        self.rate = rate
+        self.code = get_code(rate)
+        self.max_iters = max_iters or RECOMMENDED_ITERS[rate]
+        self._encode = make_encoder(rate)
+        self._decode = make_decoder(rate, self.max_iters)
+        self.last_success = False
+        self.last_iters = 0
+
+    @property
+    def k(self) -> int:
+        return self.code.k
+
+    @property
+    def n(self) -> int:
+        return self.code.n
+
+    def coded_size(self, input_size: int) -> int:
+        blocks = -(-(input_size * 8) // self.k)
+        return -(-(blocks * self.n) // 8)
+
+    def encode(self, data: bytes) -> bytes:
+        bits = bytes_to_bits(data)
+        blocks = -(-len(bits) // self.k)
+        padded = np.zeros(blocks * self.k, dtype=np.uint8)
+        padded[: len(bits)] = bits
+        coded = np.asarray(self._encode(jnp.asarray(padded.reshape(blocks, self.k))))
+        return bits_to_bytes(coded.reshape(-1))
+
+    def decode_soft(self, llrs: np.ndarray) -> tuple[bool, bytes]:
+        """LLRs (positive => bit 0) -> (all_blocks_ok, decoded bytes)."""
+        llrs = np.asarray(llrs, dtype=np.float32)
+        if llrs.size == 0:
+            self.last_success = False
+            return False, b""
+        blocks = -(-llrs.size // self.n)
+        padded = np.zeros(blocks * self.n, dtype=np.float32)
+        padded[: llrs.size] = llrs
+        result = self._decode(jnp.asarray(padded.reshape(blocks, self.n)))
+        info_bits = np.asarray(result.info_bits).reshape(-1)
+        ok = bool(np.all(np.asarray(result.success)))
+        self.last_success = ok
+        self.last_iters = int(np.max(np.asarray(result.iterations)))
+        return ok, bits_to_bytes(info_bits)
+
+    def decode_hard(self, coded: bytes) -> tuple[bool, bytes]:
+        bits = bytes_to_bits(coded).astype(np.float32)
+        return self.decode_soft(np.where(bits > 0.5, -6.0, 6.0))
