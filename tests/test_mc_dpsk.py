@@ -1,0 +1,126 @@
+"""MC-DPSK waveform loopback tests: chirp sync + demod + LDPC decode.
+
+Mirrors the reference's tier-3 component tests (tools/test_waveform_simple.cpp,
+tools/test_spreading.cpp): one clean TX -> AWGN -> RX pass per configuration,
+asserting sync detection, CFO accuracy and frame decode at the documented SNR
+floors (BASELINE.md: DBPSK no-spread floor -4 dB, 4x spread floor -8..-10 dB).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ria_tpu.fec import LDPCCodec
+from ria_tpu.sync.chirp import ChirpConfig, detect_dual_chirp
+from ria_tpu.utils.bits import bytes_to_bits
+from ria_tpu.wave.mc_dpsk import MCDPSKConfig, demodulate, modulate, preamble
+
+
+def _awgn(x, snr_db, rng):
+    # Noise scaled against signal RMS over non-zero samples, matching the
+    # reference channel convention (src/sim/hf_channel.hpp:110-128).
+    nz = np.abs(x) > 1e-6
+    rms = np.sqrt(np.mean(x[nz] ** 2)) if nz.any() else 0.1
+    sigma = rms * 10 ** (-snr_db / 20)
+    return x + rng.normal(0, sigma, size=x.shape).astype(np.float32)
+
+
+def _tx_frame(payload: bytes, cfg: MCDPSKConfig, codec: LDPCCodec):
+    coded = codec.encode(payload)
+    bits = bytes_to_bits(coded)
+    return np.concatenate([preamble(cfg), modulate(bits, cfg)]), len(bits)
+
+
+def _rx_frame(audio: np.ndarray, cfg: MCDPSKConfig, num_bits: int, lead: int = 0):
+    sync = detect_dual_chirp(jnp.asarray(audio), cfg.chirp)
+    assert bool(sync.detected), f"chirp not detected (corr={float(sync.up_corr):.3f})"
+    start = int(sync.start) + cfg.chirp.total_samples
+    n_data_sym = cfg.num_data_symbols(num_bits)
+    need = (cfg.training_symbols + 1 + n_data_sym * cfg.spreading) * cfg.samples_per_symbol
+    frame = np.zeros(need, np.float32)
+    avail = audio[start : start + need]
+    frame[: len(avail)] = avail
+    result = demodulate(jnp.asarray(frame), sync.cfo_hz, cfg, n_data_sym)
+    return np.asarray(result.soft_bits)[:num_bits], sync, result
+
+
+@pytest.mark.parametrize(
+    "bps,spreading,snr_db",
+    [
+        (1, 1, 0.0),    # config #1: DBPSK no-spread AWGN loopback at 0 dB
+        (1, 1, -4.0),   # documented floor for DBPSK no-spread
+        (1, 2, -7.0),   # 2x spread floor
+        (1, 4, -8.0),   # 4x spread verified floor
+        (2, 1, 6.0),    # DQPSK above its +5 dB floor
+    ],
+)
+def test_loopback_awgn(bps, spreading, snr_db):
+    cfg = MCDPSKConfig(bits_per_symbol=bps, spreading=spreading)
+    codec = LDPCCodec("R1_4")
+    payload = bytes(b"HELLO RIA-TPU WORLD!")  # one R1/4 codeword (20 bytes)
+    rng = np.random.default_rng(1234)
+
+    tx, num_bits = _tx_frame(payload, cfg, codec)
+    lead = 3000
+    audio = np.concatenate([np.zeros(lead, np.float32), tx, np.zeros(8000, np.float32)])
+    audio = _awgn(audio, snr_db, rng)
+
+    soft, sync, result = _rx_frame(audio, cfg, num_bits)
+    assert abs(int(sync.start) - lead) <= 24, f"sync offset {int(sync.start) - lead}"
+    ok, decoded = codec.decode_soft(soft)
+    assert ok, f"LDPC decode failed at {snr_db} dB (pnv={float(result.phase_noise_var):.3f})"
+    assert decoded[: len(payload)] == payload
+
+
+def test_loopback_with_cfo():
+    cfg = MCDPSKConfig(bits_per_symbol=1, spreading=1)
+    codec = LDPCCodec("R1_4")
+    payload = b"CFO TEST PAYLOAD 123"
+    rng = np.random.default_rng(7)
+    cfo = 12.0
+
+    coded = codec.encode(payload)
+    bits = bytes_to_bits(coded)
+    tx = np.concatenate([preamble(cfg, tx_cfo_hz=cfo), _modulate_with_cfo(bits, cfg, cfo)])
+    audio = np.concatenate([np.zeros(5000, np.float32), tx, np.zeros(8000, np.float32)])
+    audio = _awgn(audio, 10.0, rng)
+
+    soft, sync, _ = _rx_frame(audio, cfg, len(bits))
+    assert abs(float(sync.cfo_hz) - cfo) <= 3.0, f"CFO est {float(sync.cfo_hz)}"
+    ok, decoded = codec.decode_soft(soft)
+    assert ok
+    assert decoded[: len(payload)] == payload
+
+
+def _modulate_with_cfo(bits, cfg, cfo_hz):
+    """TX-side CFO simulation: shift the modulated spectrum by cfo_hz."""
+    from ria_tpu.dsp.nco import freq_shift_real
+
+    x = modulate(bits, cfg)
+    y, _ = freq_shift_real(jnp.asarray(x), cfo_hz, cfg.sample_rate)
+    return np.asarray(y, np.float32)
+
+
+def test_spreading_gain():
+    """4x spreading decodes where no-spread fails (reference test_spreading)."""
+    codec = LDPCCodec("R1_4")
+    payload = b"SPREADING GAIN TEST!"
+    rng = np.random.default_rng(99)
+    snr = -8.0
+
+    fails, passes = 0, 0
+    for trial in range(3):
+        for spreading, expect in [(4, True)]:
+            cfg = MCDPSKConfig(bits_per_symbol=1, spreading=spreading)
+            tx, num_bits = _tx_frame(payload, cfg, codec)
+            audio = np.concatenate([np.zeros(4000, np.float32), tx, np.zeros(6000, np.float32)])
+            audio = _awgn(audio, snr, rng)
+            try:
+                soft, _, _ = _rx_frame(audio, cfg, num_bits)
+                ok, decoded = codec.decode_soft(soft)
+                ok = ok and decoded[: len(payload)] == payload
+            except AssertionError:
+                ok = False
+            passes += int(ok)
+    assert passes >= 2, f"4x spreading: only {passes}/3 decodes at {snr} dB"
