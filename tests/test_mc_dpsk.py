@@ -124,3 +124,20 @@ def test_spreading_gain():
                 ok = False
             passes += int(ok)
     assert passes >= 2, f"4x spreading: only {passes}/3 decodes at {snr} dB"
+
+
+def test_loopback_watterson_good():
+    """MC-DPSK DBPSK through the Good fading channel at 10 dB."""
+    import jax
+    from ria_tpu.sim import good, apply_channel
+
+    cfg = MCDPSKConfig(bits_per_symbol=1, spreading=1)
+    codec = LDPCCodec("R1_4")
+    payload = b"FADING CHANNEL TEST!"
+    tx, num_bits = _tx_frame(payload, cfg, codec)
+    audio = np.concatenate([np.zeros(4000, np.float32), tx, np.zeros(6000, np.float32)])
+    out = np.asarray(apply_channel(jnp.asarray(audio), jax.random.PRNGKey(5), good(10.0)).samples)
+    soft, _, _ = _rx_frame(out, cfg, num_bits)
+    ok, decoded = codec.decode_soft(soft)
+    assert ok
+    assert decoded[: len(payload)] == payload
