@@ -42,8 +42,14 @@ class DecodeResult(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def make_decoder(rate: str, max_iters: int | None = None):
-    """Build a jitted batched decoder: llrs [B, 648] -> DecodeResult."""
+def make_decoder(rate: str, max_iters: int | None = None,
+                 min_sum_factor: float = MIN_SUM_FACTOR):
+    """Build a jitted batched decoder: llrs [B, 648] -> DecodeResult.
+
+    min_sum_factor: normalization factor (reference default 0.75; the OFDM
+    fixed-frame path uses 0.9375 with a factor-diversity retry ladder,
+    frame_v2.cpp decodeFixedFrame).
+    """
     code = get_code(rate)
     if max_iters is None:
         max_iters = RECOMMENDED_ITERS[rate]
@@ -64,7 +70,7 @@ def make_decoder(rate: str, max_iters: int | None = None):
         min2 = jnp.min(jnp.where(is_min, jnp.inf, absv), axis=-1, keepdims=True)
         excl_min = jnp.where(is_min, min2, min1)
         # sign excluding edge e == sign_prod * sgn_e (sgn in {-1, +1})
-        c2v = sign_prod * sgn * excl_min * MIN_SUM_FACTOR
+        c2v = sign_prod * sgn * excl_min * min_sum_factor
         return jnp.where(mask, c2v, 0.0)
 
     def decode(llrs: jnp.ndarray) -> DecodeResult:
@@ -122,6 +128,87 @@ def make_encoder(rate: str):
         return jnp.concatenate([info_f, parity], axis=-1).astype(jnp.uint8)
 
     return jax.jit(encode)
+
+
+def decode_with_retries(llrs: np.ndarray, rate: str, max_iters: int | None = None,
+                        base_factor: float = 0.9375) -> DecodeResult:
+    """Decode with the fixed-frame retry ladder, batched the TPU way.
+
+    The reference retries failed codewords sequentially with min-sum factor
+    diversity and Gaussian LLR perturbation (frame_v2.cpp decodeFixedFrame
+    phases 0-4).  Here every retry strategy for every still-failed codeword is
+    evaluated as ONE batched decode per factor: factor diversity on clean
+    LLRs first, then perturbed/clipped/scaled variants.
+    """
+    import jax
+
+    llrs = np.asarray(llrs, np.float32)
+    result = make_decoder(rate, max_iters, base_factor)(llrs)
+    success = np.asarray(result.success)
+    if success.all():
+        return result
+
+    info = np.asarray(result.info_bits).copy()
+    llr_total = np.asarray(result.llr_total).copy()
+    iters = np.asarray(result.iterations).copy()
+
+    # Phase 0: factor diversity on unmodified LLRs.
+    for factor in (0.875, 0.75, 0.625, 0.5):
+        failed = ~success
+        if not failed.any():
+            break
+        r = make_decoder(rate, max_iters, factor)(llrs[failed])
+        s = np.asarray(r.success)
+        idx = np.where(failed)[0][s]
+        success[idx] = True
+        info[idx] = np.asarray(r.info_bits)[s]
+        llr_total[idx] = np.asarray(r.llr_total)[s]
+        iters[idx] = np.asarray(r.iterations)[s]
+
+    # Phase 1-4 condensed: perturbation ladder, all variants in one batch per
+    # factor.  Variants per failed CW: clean-clipped/scaled + noisy copies.
+    if not success.all():
+        rng = np.random.default_rng(0x5EED)
+        variants = []
+        for sigma in (0.3, 0.7, 1.0, 1.5, 2.5):
+            variants.append(("raw", sigma))
+        for sigma in (0.3, 1.5, 4.0):
+            variants.append(("clip10", sigma))
+        for sigma in (0.5, 3.0):
+            variants.append(("scale", sigma))
+        for factor in (0.75, 0.625, 0.875):
+            failed = ~success
+            if not failed.any():
+                break
+            base = llrs[failed]
+            batch = []
+            for kind, sigma in variants:
+                v = base.copy()
+                if kind == "clip10":
+                    v = np.clip(v, -10, 10)
+                elif kind == "scale":
+                    v = v * 0.5
+                v = v + rng.normal(0, sigma, v.shape).astype(np.float32)
+                batch.append(v)
+            stacked = np.concatenate(batch, axis=0)  # [V*F, n]
+            r = make_decoder(rate, max_iters, factor)(stacked)
+            s = np.asarray(r.success).reshape(len(variants), -1)
+            ib = np.asarray(r.info_bits).reshape(len(variants), base.shape[0], -1)
+            lt = np.asarray(r.llr_total).reshape(len(variants), base.shape[0], -1)
+            it = np.asarray(r.iterations).reshape(len(variants), -1)
+            any_ok = s.any(axis=0)
+            first = np.argmax(s, axis=0)
+            fidx = np.where(failed)[0]
+            for j, (ok_j, v_j) in enumerate(zip(any_ok, first)):
+                if ok_j:
+                    gi = fidx[j]
+                    success[gi] = True
+                    info[gi] = ib[v_j, j]
+                    llr_total[gi] = lt[v_j, j]
+                    iters[gi] = it[v_j, j]
+
+    return DecodeResult(jnp.asarray(info), jnp.asarray(success),
+                        jnp.asarray(iters), jnp.asarray(llr_total))
 
 
 class LDPCCodec:

@@ -1,0 +1,507 @@
+"""v2 wire format: frames, codeword layout, CRC, callsign hashing.
+
+Byte-level contract from the reference (src/protocol/frame_v2.hpp/.cpp):
+- magic 0x554C big-endian; control frames exactly 20 bytes
+  [magic 2][type 1][flags 1][seq 2][src 3][dst 3][payload 6][crc16 2];
+- data frames: 17-byte header [magic 2][type 1][flags 1][seq 2][src 3][dst 3]
+  [total_cw 1][len 2][hcrc 2] + payload + frame crc16;
+- CRC-16/CCITT poly 0x1021 init 0xFFFF (frame_v2.cpp:113-128);
+- 24-bit DJB2-xor callsign hash (frame_v2.cpp:78-84);
+- codeword layout: CW0 = first bytes_per_cw bytes of the serialized frame;
+  CW1+ = [0xD5][index][payload bytes_per_cw-2] (frame_v2.cpp
+  encodeFrameWithLDPC / splitIntoCodewords);
+- fixed 4-CW data frames with frame-level interleaving; PING/PONG = raw
+  "ULTR" bytes, no LDPC.
+
+This layer is host-side (numpy/python): framing is protocol control flow, not
+array compute.  The LDPC/interleave heavy lifting it calls into is jitted.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ria_tpu.fec import LDPCCodec
+from ria_tpu.fec.ldpc_matrix import CODE_PARAMS
+from ria_tpu.fec.interleave import (
+    FRAME_CODEWORDS,
+    channel_perm,
+    apply_perm,
+    frame_deinterleave,
+    frame_interleave,
+)
+from ria_tpu.utils.bits import bits_to_bytes, bytes_to_bits
+
+MAGIC_V2 = 0x554C
+DATA_CW_MARKER = 0xD5
+PING_MAGIC = b"ULTR"
+CALLSIGN_LEN = 8
+BROADCAST_HASH = 0xFFFFFF
+DISCONNECT_SEQ = 0xFFFF
+LDPC_CODEWORD_BITS = 648
+LDPC_CODEWORD_BYTES = 81
+
+
+class FrameType(enum.IntEnum):
+    PING = 0x01
+    PONG = 0x02
+    PROBE = 0x10
+    PROBE_ACK = 0x11
+    CONNECT = 0x12
+    CONNECT_ACK = 0x13
+    CONNECT_NAK = 0x14
+    DISCONNECT = 0x15
+    KEEPALIVE = 0x16
+    MODE_CHANGE = 0x17
+    ACK = 0x20
+    NACK = 0x21
+    DATA = 0x30
+    DATA_START = 0x31
+    DATA_CONT = 0x32
+    DATA_END = 0x33
+    BEACON = 0x40
+
+
+class Flags:
+    NONE = 0x00
+    VERSION_V2 = 0x01
+    URGENT = 0x02
+    COMPRESSED = 0x04
+    ENCRYPTED = 0x08
+    MORE_FRAG = 0x10
+    FINAL = 0x20
+    RATE_MASK = 0xC0
+    RATE_1_4 = 0x00
+    RATE_1_2 = 0x40
+    RATE_2_3 = 0x80
+    RATE_3_4 = 0xC0
+
+
+RATE_FLAG_TO_NAME = {0x00: "R1_4", 0x40: "R1_2", 0x80: "R2_3", 0xC0: "R3_4"}
+RATE_NAME_TO_FLAG = {v: k for k, v in RATE_FLAG_TO_NAME.items()}
+
+
+class WaveformMode(enum.IntEnum):
+    OFDM_COX = 0x00
+    OTFS_EQ = 0x01
+    OTFS_RAW = 0x02
+    MFSK = 0x03
+    MC_DPSK = 0x04
+    OFDM_CHIRP = 0x05
+    AUTO = 0xFF
+
+
+def is_control_frame(t: int) -> bool:
+    return t in (FrameType.PROBE, FrameType.PROBE_ACK, FrameType.KEEPALIVE,
+                 FrameType.MODE_CHANGE, FrameType.ACK, FrameType.NACK,
+                 FrameType.DISCONNECT, FrameType.BEACON)
+
+
+def is_data_frame(t: int) -> bool:
+    return 0x30 <= t <= 0x33
+
+
+def is_connect_frame(t: int) -> bool:
+    return t in (FrameType.CONNECT, FrameType.CONNECT_ACK, FrameType.CONNECT_NAK,
+                 FrameType.DISCONNECT)
+
+
+def crc16(data: bytes) -> int:
+    """CRC-16/CCITT, poly 0x1021, init 0xFFFF (table-driven)."""
+    crc = 0xFFFF
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x1021) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def hash_callsign(callsign: str) -> int:
+    """24-bit DJB2-xor hash of the uppercased callsign."""
+    h = 5381
+    for c in callsign:
+        h = (((h << 5) + h) ^ ord(c.upper())) & 0xFFFFFFFF
+    return h & 0xFFFFFF
+
+
+def sanitize_callsign(call: str) -> str:
+    out = []
+    for c in call:
+        if len(out) >= CALLSIGN_LEN:
+            break
+        if c.isalnum() or c in "/-":
+            out.append(c.upper())
+    return "".join(out)
+
+
+def encode_snr(snr_db: float) -> int:
+    return int((max(-10.0, min(53.75, snr_db)) + 10.0) * 4.0)
+
+
+def decode_snr(enc: int) -> float:
+    return enc / 4.0 - 10.0
+
+
+def encode_fading_index(fi: float) -> int:
+    if fi < 0:
+        return 0
+    return int(1 + max(0.0, min(2.54, fi)) * 100.0 + 0.5)
+
+
+def decode_fading_index(enc: int) -> float:
+    return -1.0 if enc == 0 else (enc - 1) / 100.0
+
+
+def bytes_per_codeword(rate: str) -> int:
+    return CODE_PARAMS[rate][0] // 8
+
+
+@dataclass
+class ControlFrame:
+    SIZE = 20
+    PAYLOAD_SIZE = 6
+
+    type: FrameType = FrameType.PROBE
+    flags: int = Flags.VERSION_V2
+    seq: int = 0
+    src_hash: int = 0
+    dst_hash: int = 0
+    payload: bytes = b"\x00" * 6
+
+    def serialize(self) -> bytes:
+        out = bytearray(20)
+        out[0:2] = MAGIC_V2.to_bytes(2, "big")
+        out[2] = int(self.type)
+        out[3] = self.flags
+        out[4:6] = self.seq.to_bytes(2, "big")
+        out[6:9] = (self.src_hash & 0xFFFFFF).to_bytes(3, "big")
+        out[9:12] = (self.dst_hash & 0xFFFFFF).to_bytes(3, "big")
+        out[12:18] = self.payload[:6].ljust(6, b"\x00")
+        out[18:20] = crc16(bytes(out[:18])).to_bytes(2, "big")
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "ControlFrame | None":
+        if len(data) < 20 or int.from_bytes(data[0:2], "big") != MAGIC_V2:
+            return None
+        if crc16(data[:18]) != int.from_bytes(data[18:20], "big"):
+            return None
+        try:
+            ftype = FrameType(data[2])
+        except ValueError:
+            return None
+        return cls(type=ftype, flags=data[3], seq=int.from_bytes(data[4:6], "big"),
+                   src_hash=int.from_bytes(data[6:9], "big"),
+                   dst_hash=int.from_bytes(data[9:12], "big"), payload=bytes(data[12:18]))
+
+    # --- factories (reference frame_v2.cpp:131-300) ---
+    @classmethod
+    def make_ack(cls, src: str, dst_hash: int, seq: int) -> "ControlFrame":
+        return cls(type=FrameType.ACK, seq=seq, src_hash=hash_callsign(src), dst_hash=dst_hash)
+
+    @classmethod
+    def make_nack(cls, src: str, dst_hash: int, seq: int, cw_bitmap: int) -> "ControlFrame":
+        payload = seq.to_bytes(2, "big") + cw_bitmap.to_bytes(4, "big")
+        return cls(type=FrameType.NACK, seq=seq, src_hash=hash_callsign(src),
+                   dst_hash=dst_hash, payload=payload)
+
+    @classmethod
+    def make_keepalive(cls, src: str, dst: str) -> "ControlFrame":
+        return cls(type=FrameType.KEEPALIVE, src_hash=hash_callsign(src),
+                   dst_hash=hash_callsign(dst))
+
+    @classmethod
+    def make_beacon(cls, src: str) -> "ControlFrame":
+        return cls(type=FrameType.BEACON, src_hash=hash_callsign(src), dst_hash=BROADCAST_HASH)
+
+    @classmethod
+    def make_mode_change(cls, src: str, dst_hash: int, seq: int, modulation: int,
+                         rate_name: str, snr_db: float, fading_index: float, reason: int,
+                         waveform: "WaveformMode | None" = None) -> "ControlFrame":
+        from ria_tpu.fec.ldpc_matrix import RATE_ENUM
+        wf_enc = 0
+        if waveform is not None and waveform != WaveformMode.AUTO:
+            wf_enc = 0x80 | (int(waveform) & 0x7F)
+        payload = bytes([modulation, RATE_ENUM[rate_name], encode_snr(snr_db), reason,
+                         encode_fading_index(fading_index), wf_enc])
+        return cls(type=FrameType.MODE_CHANGE, seq=seq, src_hash=hash_callsign(src),
+                   dst_hash=dst_hash, payload=payload)
+
+
+@dataclass
+class DataFrame:
+    HEADER_SIZE = 17
+    CRC_SIZE = 2
+
+    type: FrameType = FrameType.DATA
+    flags: int = Flags.VERSION_V2
+    seq: int = 0
+    src_hash: int = 0
+    dst_hash: int = 0
+    total_cw: int = 0
+    payload: bytes = b""
+
+    def serialize(self) -> bytes:
+        total = self.HEADER_SIZE + len(self.payload) + self.CRC_SIZE
+        out = bytearray(total)
+        out[0:2] = MAGIC_V2.to_bytes(2, "big")
+        out[2] = int(self.type)
+        out[3] = self.flags
+        out[4:6] = self.seq.to_bytes(2, "big")
+        out[6:9] = (self.src_hash & 0xFFFFFF).to_bytes(3, "big")
+        out[9:12] = (self.dst_hash & 0xFFFFFF).to_bytes(3, "big")
+        out[12] = self.total_cw
+        out[13:15] = len(self.payload).to_bytes(2, "big")
+        out[15:17] = crc16(bytes(out[:15])).to_bytes(2, "big")
+        out[17 : 17 + len(self.payload)] = self.payload
+        out[-2:] = crc16(bytes(out[:-2])).to_bytes(2, "big")
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "DataFrame | None":
+        if len(data) < cls.HEADER_SIZE + cls.CRC_SIZE:
+            return None
+        if int.from_bytes(data[0:2], "big") != MAGIC_V2:
+            return None
+        if crc16(data[:15]) != int.from_bytes(data[15:17], "big"):
+            return None
+        plen = int.from_bytes(data[13:15], "big")
+        total = cls.HEADER_SIZE + plen + cls.CRC_SIZE
+        if len(data) < total:
+            return None
+        if crc16(data[: total - 2]) != int.from_bytes(data[total - 2 : total], "big"):
+            return None
+        try:
+            ftype = FrameType(data[2])
+        except ValueError:
+            return None
+        return cls(type=ftype, flags=data[3], seq=int.from_bytes(data[4:6], "big"),
+                   src_hash=int.from_bytes(data[6:9], "big"),
+                   dst_hash=int.from_bytes(data[9:12], "big"), total_cw=data[12],
+                   payload=bytes(data[17 : 17 + plen]))
+
+    @classmethod
+    def make_data(cls, src: str, dst: str, seq: int, payload: bytes,
+                  ftype: FrameType = FrameType.DATA) -> "DataFrame":
+        return cls(type=ftype, seq=seq, src_hash=hash_callsign(src),
+                   dst_hash=hash_callsign(dst), payload=payload)
+
+
+@dataclass
+class ConnectFrame:
+    """CONNECT/CONNECT_ACK/NAK/DISCONNECT with full callsigns (25B payload)."""
+
+    MAX_CALLSIGN_LEN = 10
+    PAYLOAD_SIZE = 25
+
+    type: FrameType = FrameType.CONNECT
+    flags: int = Flags.VERSION_V2
+    seq: int = 0
+    src_callsign: str = ""
+    dst_callsign: str = ""
+    mode_capabilities: int = 0
+    negotiated_mode: int = 0xFF
+    initial_modulation: int = 0xFF
+    initial_code_rate: int = 0xFF
+    measured_snr: int = 0
+    dst_hash_override: int | None = None
+
+    def serialize(self) -> bytes:
+        src = self.src_callsign.encode()[:9].ljust(10, b"\x00")
+        dst = self.dst_callsign.encode()[:9].ljust(10, b"\x00")
+        payload = src + dst + bytes([self.mode_capabilities, self.negotiated_mode,
+                                     self.initial_modulation, self.initial_code_rate,
+                                     self.measured_snr])
+        dst_hash = (self.dst_hash_override if self.dst_hash_override is not None
+                    else hash_callsign(self.dst_callsign))
+        df = DataFrame(type=self.type, flags=self.flags,
+                       seq=DISCONNECT_SEQ if self.type == FrameType.DISCONNECT else self.seq,
+                       src_hash=hash_callsign(self.src_callsign), dst_hash=dst_hash,
+                       total_cw=FRAME_CODEWORDS, payload=payload)
+        return df.serialize()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "ConnectFrame | None":
+        df = DataFrame.deserialize(data)
+        if df is None or len(df.payload) < cls.PAYLOAD_SIZE:
+            return None
+        p = df.payload
+        return cls(type=df.type, flags=df.flags, seq=df.seq,
+                   src_callsign=p[0:10].split(b"\x00")[0].decode(errors="replace"),
+                   dst_callsign=p[10:20].split(b"\x00")[0].decode(errors="replace"),
+                   mode_capabilities=p[20], negotiated_mode=p[21],
+                   initial_modulation=p[22], initial_code_rate=p[23], measured_snr=p[24])
+
+
+@dataclass
+class NackPayload:
+    frame_seq: int
+    cw_bitmap: int
+
+    def encode(self) -> bytes:
+        return self.frame_seq.to_bytes(2, "big") + self.cw_bitmap.to_bytes(4, "big")
+
+    @classmethod
+    def decode(cls, data: bytes) -> "NackPayload":
+        return cls(int.from_bytes(data[0:2], "big"), int.from_bytes(data[2:6], "big"))
+
+
+# ============================================================================
+# Codeword-level encode/decode (LDPC integration)
+# ============================================================================
+
+def split_into_codewords(frame_data: bytes, rate: str = "R1_4") -> list[bytes]:
+    """Frame bytes -> per-CW info chunks (CW0 raw header, CW1+ 0xD5+idx)."""
+    bpc = bytes_per_codeword(rate)
+    payload_size = bpc - 2
+    chunks = [frame_data[:bpc].ljust(bpc, b"\x00")]
+    offset = bpc
+    idx = 1
+    while offset < len(frame_data):
+        chunk = frame_data[offset : offset + payload_size]
+        chunks.append((bytes([DATA_CW_MARKER, idx]) + chunk).ljust(bpc, b"\x00"))
+        offset += payload_size
+        idx += 1
+    return chunks
+
+
+def reassemble_codewords(codewords: list[bytes], rate: str = "R1_4",
+                         expected_size: int | None = None) -> bytes:
+    """Per-CW decoded info chunks -> frame bytes.
+
+    Marker-aware like the reference (frame_v2.cpp reassembleCodewords): CW1+
+    chunks starting with 0xD5 have their 2-byte marker+index stripped; plain
+    chunks (fixed 4-CW frames) are concatenated as-is, up to expected_size.
+    """
+    bpc = bytes_per_codeword(rate)
+    out = bytearray()
+    limit = expected_size if expected_size is not None else 1 << 30
+    for i, cw in enumerate(codewords):
+        remaining = limit - len(out)
+        if remaining <= 0:
+            break
+        if i == 0:
+            out.extend(cw[:bpc][:remaining])
+        elif len(cw) >= 2 and cw[0] == DATA_CW_MARKER:
+            out.extend(cw[2:bpc][:remaining])
+        else:
+            out.extend(cw[:bpc][:remaining])
+    return bytes(out)
+
+
+def encode_frame_ldpc(frame_data: bytes, rate: str = "R1_4",
+                      channel_interleave_bits_per_symbol: int | None = None) -> np.ndarray:
+    """Serialized frame -> coded bits [num_cw, 648] (MC-DPSK variable-CW path)."""
+    codec = LDPCCodec(rate)
+    chunks = split_into_codewords(frame_data, rate)
+    coded = []
+    for chunk in chunks:
+        cw_bits = bytes_to_bits(codec.encode(chunk))[:LDPC_CODEWORD_BITS]
+        coded.append(cw_bits)
+    out = np.stack(coded)
+    if channel_interleave_bits_per_symbol:
+        perm = channel_perm(channel_interleave_bits_per_symbol)
+        out = apply_perm(out, perm)
+    return out
+
+
+def decode_codewords(soft_bits: np.ndarray, rate: str = "R1_4",
+                     channel_interleave_bits_per_symbol: int | None = None):
+    """Soft bits [num_cw, 648] -> (per-CW ok flags, per-CW info bytes)."""
+    if channel_interleave_bits_per_symbol:
+        perm = channel_perm(channel_interleave_bits_per_symbol)
+        soft_bits = apply_perm(soft_bits, perm, inverse=True)
+    codec = LDPCCodec(rate)
+    from ria_tpu.fec.ldpc import make_decoder
+
+    result = make_decoder(rate, codec.max_iters)(np.asarray(soft_bits, np.float32))
+    oks = np.asarray(result.success)
+    infos = np.asarray(result.info_bits)
+    chunks = [bits_to_bytes(infos[i]) for i in range(len(infos))]
+    return oks, chunks
+
+
+def encode_fixed_frame(frame_data: bytes, rate: str = "R1_4",
+                       channel_interleave_bits_per_symbol: int | None = None) -> np.ndarray:
+    """Fixed 4-CW frame with frame-level interleave -> [2592] coded bits.
+
+    Fixed frames split the serialized frame into PLAIN bytes_per_cw chunks
+    (no 0xD5 markers — reference encodeFixedFrame, frame_v2.cpp).
+    """
+    bpc = bytes_per_codeword(rate)
+    capacity = FRAME_CODEWORDS * bpc
+    padded = frame_data[:capacity].ljust(capacity, b"\x00")
+    chunks = [padded[i * bpc : (i + 1) * bpc] for i in range(FRAME_CODEWORDS)]
+    codec = LDPCCodec(rate)
+    cw_bits = np.stack([bytes_to_bits(codec.encode(c))[:LDPC_CODEWORD_BITS] for c in chunks])
+    if channel_interleave_bits_per_symbol:
+        perm = channel_perm(channel_interleave_bits_per_symbol)
+        cw_bits = apply_perm(cw_bits, perm)
+    return frame_interleave(cw_bits)
+
+
+def decode_fixed_frame(soft: np.ndarray, rate: str = "R1_4",
+                       channel_interleave_bits_per_symbol: int | None = None):
+    """[2592] soft bits -> (per-CW ok, reassembled frame bytes or None).
+
+    Uses the fixed-frame decode profile: min-sum 0.9375 with the batched
+    factor-diversity/perturbation retry ladder (reference decodeFixedFrame).
+    """
+    from ria_tpu.fec.ldpc import decode_with_retries
+
+    cw_soft = frame_deinterleave(np.asarray(soft[:2592], np.float32))
+    if channel_interleave_bits_per_symbol:
+        perm = channel_perm(channel_interleave_bits_per_symbol)
+        cw_soft = apply_perm(cw_soft, perm, inverse=True)
+    result = decode_with_retries(cw_soft, rate)
+    oks = np.asarray(result.success)
+    chunks = [bits_to_bytes(np.asarray(result.info_bits)[i]) for i in range(FRAME_CODEWORDS)]
+    if not oks[0]:
+        return oks, None
+    header = parse_header(chunks[0])
+    if header is None:
+        return oks, None
+    expected = (ControlFrame.SIZE if header["is_control"]
+                else DataFrame.HEADER_SIZE + header["payload_len"] + DataFrame.CRC_SIZE)
+    if not oks.all():
+        return oks, None
+    return oks, reassemble_codewords(chunks, rate, expected)
+
+
+def fixed_frame_payload_capacity(rate: str) -> int:
+    return FRAME_CODEWORDS * bytes_per_codeword(rate) - DataFrame.HEADER_SIZE - DataFrame.CRC_SIZE
+
+
+def make_fixed_data_frame(src: str, dst: str, seq: int, payload: bytes, rate: str,
+                          flags_extra: int = 0) -> DataFrame:
+    cap = fixed_frame_payload_capacity(rate)
+    padded = payload[:cap].ljust(cap, b"\x00")
+    flags = Flags.VERSION_V2 | RATE_NAME_TO_FLAG.get(rate, 0) | flags_extra
+    return DataFrame(type=FrameType.DATA, flags=flags, seq=seq,
+                     src_hash=hash_callsign(src), dst_hash=hash_callsign(dst),
+                     total_cw=FRAME_CODEWORDS, payload=padded)
+
+
+def parse_header(cw0: bytes) -> dict | None:
+    """Parse CW0 header info (reference parseHeader, frame_v2.cpp)."""
+    if len(cw0) < 17 or int.from_bytes(cw0[0:2], "big") != MAGIC_V2:
+        return None
+    try:
+        ftype = FrameType(cw0[2])
+    except ValueError:
+        return None
+    if is_control_frame(ftype) and not is_connect_frame(ftype):
+        return {"type": ftype, "is_control": True, "total_cw": 1, "payload_len": 6,
+                "seq": int.from_bytes(cw0[4:6], "big"),
+                "src_hash": int.from_bytes(cw0[6:9], "big"),
+                "dst_hash": int.from_bytes(cw0[9:12], "big")}
+    if crc16(cw0[:15]) != int.from_bytes(cw0[15:17], "big"):
+        return None
+    return {"type": ftype, "is_control": False, "total_cw": cw0[12],
+            "payload_len": int.from_bytes(cw0[13:15], "big"),
+            "seq": int.from_bytes(cw0[4:6], "big"),
+            "src_hash": int.from_bytes(cw0[6:9], "big"),
+            "dst_hash": int.from_bytes(cw0[9:12], "big")}
