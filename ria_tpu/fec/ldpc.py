@@ -55,8 +55,9 @@ def make_decoder(rate: str, max_iters: int | None = None,
         max_iters = RECOMMENDED_ITERS[rate]
     m, n, k, D = code.m, code.n, code.k, code.max_degree
 
-    gather = jnp.asarray(code.gather)          # [m*D, n]
-    mask = jnp.asarray(code.row_mask)          # [m, D]
+    # numpy closures lower to MLIR constants without a device readback.
+    gather = code.gather                       # [m*D, n]
+    mask = code.row_mask                       # [m, D]
 
     def _check_update(v2c):
         """Per-check two-min + sign-product, excluding self (min-sum)."""
@@ -120,7 +121,7 @@ def make_decoder(rate: str, max_iters: int | None = None,
 def make_encoder(rate: str):
     """Jitted batched systematic encoder: info_bits [B, k] -> codeword [B, 648]."""
     code = get_code(rate)
-    h_data = jnp.asarray(code.h_data)
+    h_data = code.h_data
 
     def encode(info_bits: jnp.ndarray) -> jnp.ndarray:
         info_f = info_bits.astype(jnp.float32)
