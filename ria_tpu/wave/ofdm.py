@@ -1,0 +1,610 @@
+"""OFDM waveform: 1024-pt FFT, CP 96, pilot-assisted MMSE equalization.
+
+Numeric contract from the reference:
+- geometry: fft=1024 @ 48 kHz (46.875 Hz bins), 59 carriers symmetric around
+  DC (bins -29..-1, +1..+30), CP 96 (MEDIUM), center 1500 Hz, output scale 40
+  (include/ultra/types.hpp:195-267, src/ofdm/modulator.cpp:143-181);
+- constellations: Gray BPSK/QPSK/QAM16/32/64/256 exactly as
+  src/ofdm/modulator.cpp:14-106; differential DBPSK/DQPSK/D8PSK across time
+  per carrier from an all-ones reference, D8PSK with 22.5 deg offset
+  (:406-445);
+- pilots: legacy every-pilot_spacing carriers, BPSK signs from
+  mt19937(0x50494C54) raw draws (:195-200); coherent modes use pilots
+  (spacing 5/8 by rate), DQPSK R1/4 runs pilot-free;
+- preamble: [silence fft+cp][STS x4: sync seq on even FFT bins -> two
+  identical time halves][LTS x2: sync seq on all carriers + pilots]
+  (:479-532); chirp-mode uses LTS training only (:534-583);
+- Schmidl-Cox: M(d)=|P|/sqrt(R1 R2) on the analytic signal, CFO =
+  arg(P) fs/(pi N) (src/ofdm/ofdm_sync.cpp:133-260); LTS passband
+  cross-correlation fine timing, earlier-LTS preference at 92%, accept
+  threshold 0.05 @ 1024 FFT (:386-480);
+- equalization: MMSE conj(H) y/(|H|^2+sigma^2), soft erasure below
+  0.25x average |H|^2, carrier noise var in [1e-6, 100]
+  (src/ofdm/channel_equalizer.cpp:1259-1340);
+- soft demap: per-modulation LLR formulas with clip +/-20 and min mag 0.01,
+  CE error margins, per-carrier EMA instability inflation (K=10)
+  (src/ofdm/soft_demap.hpp, src/ofdm/demodulator.cpp:234-332).
+
+TPU redesign: whole frames are demodulated as one batched program — all
+symbols CP-stripped and FFT'd at once, equalized with broadcast H, demapped
+vectorized; the only sequential piece (per-carrier EMA + differential chain)
+is a short lax.scan over the symbol axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ria_tpu.utils.mt19937 import MT19937
+
+PILOT_RNG_SEED = 0x50494C54
+MAX_LLR = 20.0
+MIN_LLR_MAG = 0.01
+FADE_THRESHOLD_RATIO = 0.25
+DEFAULT_SNR_LINEAR = 31.6
+MIN_CARRIER_NOISE_VAR = 1e-6
+MAX_CARRIER_NOISE_VAR = 100.0
+CARRIER_ADAPTIVE_K = 10.0
+MAG_EMA_ALPHA = 0.3
+
+CE_MARGIN = {"DBPSK": 1.0, "DQPSK": 1.0, "BPSK": 1.0, "QPSK": 1.0, "D8PSK": 1.1,
+             "QAM16": 1.2, "QAM32": 1.5, "QAM64": 1.8, "QAM256": 2.5}
+BITS_PER_SYMBOL = {"BPSK": 1, "DBPSK": 1, "QPSK": 2, "DQPSK": 2, "D8PSK": 3,
+                   "QAM16": 4, "QAM32": 5, "QAM64": 6, "QAM256": 8}
+DIFFERENTIAL = ("DBPSK", "DQPSK", "D8PSK")
+
+
+@dataclass(frozen=True)
+class OFDMConfig:
+    sample_rate: float = 48000.0
+    center_freq: float = 1500.0
+    fft_size: int = 1024
+    num_carriers: int = 59
+    cp_len: int = 96
+    symbol_guard: int = 0
+    output_scale: float = 40.0
+    use_pilots: bool = False
+    pilot_spacing: int = 2
+    modulation: str = "DQPSK"
+    sync_threshold: float = 0.5
+
+    @property
+    def symbol_samples(self) -> int:
+        return self.fft_size + self.cp_len + self.symbol_guard
+
+    @property
+    def preamble_samples(self) -> int:
+        """Schmidl-Cox preamble: guard + 4 STS + 2 LTS."""
+        return self.symbol_samples + 6 * self.symbol_samples
+
+    @property
+    def num_data_carriers(self) -> int:
+        return len(carrier_layout(self)[1])
+
+    def bits_per_ofdm_symbol(self) -> int:
+        return self.num_data_carriers * BITS_PER_SYMBOL[self.modulation]
+
+    def num_symbols_for_bits(self, num_bits: int) -> int:
+        return -(-num_bits // self.bits_per_ofdm_symbol())
+
+
+@functools.lru_cache(maxsize=None)
+def carrier_layout(cfg: OFDMConfig):
+    """(all_bins, data_bins, pilot_bins) FFT bin indices (reference order)."""
+    neg = cfg.num_carriers // 2
+    pos = (cfg.num_carriers + 1) // 2
+    all_bins, data_bins, pilot_bins = [], [], []
+    count = 0
+    for i in range(-neg, pos + 1):
+        if i == 0:
+            continue
+        idx = (i + cfg.fft_size) % cfg.fft_size
+        all_bins.append(idx)
+        if cfg.use_pilots and count % cfg.pilot_spacing == 0:
+            pilot_bins.append(idx)
+        else:
+            data_bins.append(idx)
+        count += 1
+    return (np.array(all_bins), np.array(data_bins), np.array(pilot_bins, dtype=np.int64))
+
+
+@functools.lru_cache(maxsize=None)
+def pilot_sequence(cfg: OFDMConfig) -> np.ndarray:
+    """BPSK pilot signs from mt19937(\"PILT\") raw draws."""
+    _, _, pilot_bins = carrier_layout(cfg)
+    rng = MT19937(PILOT_RNG_SEED)
+    return np.array([1.0 if (rng() & 1) else -1.0 for _ in range(len(pilot_bins))],
+                    dtype=np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def sync_sequence(cfg: OFDMConfig) -> np.ndarray:
+    """Zadoff-Chu root 1, length num_carriers (modulator.cpp:183-193)."""
+    N = cfg.num_carriers
+    n = np.arange(N, dtype=np.float64)
+    return np.exp(-1j * np.pi * 1 * n * (n + 1) / N).astype(np.complex64)
+
+
+# ============================================================================
+# Constellations (TX maps exactly matching modulator.cpp)
+# ============================================================================
+
+def _qam16_table():
+    levels = np.array([-3, -1, 3, 1], np.float64)
+    scale = 1 / np.sqrt(10)
+    out = np.zeros(16, np.complex64)
+    for b in range(16):
+        out[b] = complex(levels[(b >> 2) & 3] * scale, levels[b & 3] * scale)
+    return out
+
+
+def _qam32_table():
+    i_levels = [-3, -1, 1, 3]
+    i_gray = [0, 1, 3, 2]
+    q_levels = [-7, -5, -3, -1, 1, 3, 5, 7]
+    q_gray = [0, 1, 3, 2, 6, 7, 5, 4]
+    scale = 1 / np.sqrt(26)
+    out = np.zeros(32, np.complex64)
+    for b in range(32):
+        qb, ib = (b >> 2) & 7, b & 3
+        qi = q_gray.index(qb)
+        ii = i_gray.index(ib)
+        out[b] = complex(i_levels[ii] * scale, q_levels[qi] * scale)
+    return out
+
+
+def _qam64_table():
+    levels = np.array([-7, -5, -1, -3, 7, 5, 1, 3], np.float64)
+    scale = 1 / np.sqrt(42)
+    out = np.zeros(64, np.complex64)
+    for b in range(64):
+        out[b] = complex(levels[(b >> 3) & 7] * scale, levels[b & 7] * scale)
+    return out
+
+
+def _qam256_table():
+    levels = np.array([-15, -13, -9, -11, -1, -3, -7, -5, 15, 13, 9, 11, 1, 3, 7, 5], np.float64)
+    scale = 1 / np.sqrt(170)
+    out = np.zeros(256, np.complex64)
+    for b in range(256):
+        out[b] = complex(levels[(b >> 4) & 15] * scale, levels[b & 15] * scale)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def constellation_table(mod: str) -> np.ndarray:
+    s = 1 / np.sqrt(2)
+    if mod == "BPSK":
+        return np.array([-1, 1], np.complex64)
+    if mod == "QPSK":
+        return np.array([complex(-s, -s), complex(-s, s), complex(s, -s), complex(s, s)],
+                        np.complex64)
+    if mod == "QAM16":
+        return _qam16_table()
+    if mod == "QAM32":
+        return _qam32_table()
+    if mod == "QAM64":
+        return _qam64_table()
+    if mod == "QAM256":
+        return _qam256_table()
+    if mod == "DBPSK":
+        return np.array([1, -1], np.complex64)
+    if mod == "DQPSK":
+        return np.array([1, 1j, -1, -1j], np.complex64)
+    if mod == "D8PSK":
+        ang = np.arange(8) * (np.pi / 4) + np.pi / 8
+        return np.exp(1j * ang).astype(np.complex64)
+    raise ValueError(mod)
+
+
+# ============================================================================
+# TX (host numpy)
+# ============================================================================
+
+def _bits_to_carrier_symbols(bits: np.ndarray, cfg: OFDMConfig) -> np.ndarray:
+    """bits -> per-carrier constellation/differential symbols [S, D]."""
+    bpc = BITS_PER_SYMBOL[cfg.modulation]
+    D = cfg.num_data_carriers
+    per_sym = D * bpc
+    S = -(-len(bits) // per_sym)
+    padded = np.zeros(S * per_sym, np.int64)
+    padded[: len(bits)] = bits
+    grouped = padded.reshape(S, D, bpc)
+    vals = np.zeros((S, D), np.int64)
+    for b in range(bpc):
+        vals = (vals << 1) | grouped[..., b]
+    table = constellation_table(cfg.modulation)
+    if cfg.modulation in DIFFERENTIAL:
+        rot = table[vals]
+        sym = np.cumprod(rot, axis=0)  # differential from all-ones reference
+        return sym.astype(np.complex64)
+    return table[vals]
+
+
+def _ofdm_symbols_to_time(carrier_syms: np.ndarray, cfg: OFDMConfig,
+                          include_pilots: bool = True) -> np.ndarray:
+    """[S, D] -> complex time-domain CP+FFT symbols [S, sym_samples]."""
+    _, data_bins, pilot_bins = carrier_layout(cfg)
+    S = carrier_syms.shape[0]
+    freq = np.zeros((S, cfg.fft_size), np.complex64)
+    freq[:, data_bins] = carrier_syms
+    if include_pilots and len(pilot_bins):
+        freq[:, pilot_bins] = pilot_sequence(cfg)[None, :]
+    td = np.fft.ifft(freq, axis=-1).astype(np.complex64)
+    with_cp = np.concatenate([td[:, -cfg.cp_len:], td], axis=-1)
+    if cfg.symbol_guard:
+        with_cp = np.concatenate(
+            [with_cp, np.zeros((S, cfg.symbol_guard), np.complex64)], axis=-1)
+    return with_cp
+
+
+def _mix_to_real(complex_stream: np.ndarray, cfg: OFDMConfig, tx_cfo_hz: float = 0.0) -> np.ndarray:
+    """Continuous-phase upmix from t=0 + output scaling."""
+    n = complex_stream.shape[-1]
+    t = np.arange(n, dtype=np.float64)
+    carrier = np.exp(2j * np.pi * (cfg.center_freq + tx_cfo_hz) * t / cfg.sample_rate)
+    return (np.real(complex_stream * carrier) * cfg.output_scale).astype(np.float32)
+
+
+def _sts_symbol(cfg: OFDMConfig) -> np.ndarray:
+    """Schmidl-Cox STS: sync seq on even FFT bins among data carriers."""
+    _, data_bins, _ = carrier_layout(cfg)
+    seq = sync_sequence(cfg)
+    freq = np.zeros(cfg.fft_size, np.complex64)
+    for seq_idx, bin_idx in enumerate(data_bins):
+        if bin_idx % 2 == 0:
+            freq[bin_idx] = seq[seq_idx % len(seq)]
+    td = np.fft.ifft(freq).astype(np.complex64)
+    return np.concatenate([td[-cfg.cp_len:], td])
+
+
+def _lts_symbol(cfg: OFDMConfig) -> np.ndarray:
+    _, data_bins, _ = carrier_layout(cfg)
+    seq = sync_sequence(cfg)
+    lts_data = seq[np.arange(len(data_bins)) % len(seq)][None, :]
+    return _ofdm_symbols_to_time(lts_data, cfg, include_pilots=True)[0]
+
+
+def generate_preamble(cfg: OFDMConfig, tx_cfo_hz: float = 0.0) -> np.ndarray:
+    """Full Schmidl-Cox preamble: silence + STS x4 + LTS x2 (passband)."""
+    guard = np.zeros(cfg.fft_size + cfg.cp_len, np.float32)
+    sts = _sts_symbol(cfg)
+    lts = _lts_symbol(cfg)
+    stream = np.concatenate([np.tile(sts, 4), np.tile(lts, 2)])
+    return np.concatenate([guard, _mix_to_real(stream, cfg, tx_cfo_hz)])
+
+
+def generate_training(cfg: OFDMConfig, count: int = 2, tx_cfo_hz: float = 0.0) -> np.ndarray:
+    """LTS training symbols only (chirp-acquisition mode). NOTE: for phase
+    coherence with modulate(), use tx_frame() which mixes in one stream."""
+    lts = _lts_symbol(cfg)
+    return _mix_to_real(np.tile(lts, count), cfg, tx_cfo_hz)
+
+
+def modulate(bits: np.ndarray, cfg: OFDMConfig, tx_cfo_hz: float = 0.0,
+             mixer_offset: int = 0) -> np.ndarray:
+    """Data bits -> passband samples; mixer phase starts at sample mixer_offset."""
+    syms = _bits_to_carrier_symbols(np.asarray(bits, np.int64), cfg)
+    stream = _ofdm_symbols_to_time(syms, cfg).reshape(-1)
+    n = stream.shape[0]
+    t = (np.arange(n, dtype=np.float64) + mixer_offset)
+    carrier = np.exp(2j * np.pi * (cfg.center_freq + tx_cfo_hz) * t / cfg.sample_rate)
+    return (np.real(stream * carrier) * cfg.output_scale).astype(np.float32)
+
+
+def tx_frame(bits: np.ndarray, cfg: OFDMConfig, preamble: str = "cox",
+             training_count: int = 2, tx_cfo_hz: float = 0.0) -> np.ndarray:
+    """Preamble + data in one phase-coherent stream.
+
+    preamble="cox": silence + 4 STS + 2 LTS + data (OFDM-COX waveform).
+    preamble="lts": training LTS only (chirp/ZC-synced waveforms prepend
+    their own sync signal before this).
+    """
+    syms = _bits_to_carrier_symbols(np.asarray(bits, np.int64), cfg)
+    data_stream = _ofdm_symbols_to_time(syms, cfg).reshape(-1)
+    lts = _lts_symbol(cfg)
+    if preamble == "cox":
+        sts = _sts_symbol(cfg)
+        stream = np.concatenate([np.tile(sts, 4), np.tile(lts, 2), data_stream])
+        head = np.zeros(cfg.fft_size + cfg.cp_len, np.float32)
+        return np.concatenate([head, _mix_to_real(stream, cfg, tx_cfo_hz)])
+    stream = np.concatenate([np.tile(lts, training_count), data_stream])
+    return _mix_to_real(stream, cfg, tx_cfo_hz)
+
+
+# ============================================================================
+# RX: Schmidl-Cox search (jitted)
+# ============================================================================
+
+class SCSyncResult(NamedTuple):
+    detected: jnp.ndarray
+    lts_start: jnp.ndarray   # sample index of the FIRST LTS symbol
+    cfo_hz: jnp.ndarray
+    metric: jnp.ndarray      # SC correlation at detection
+    lts_corr: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
+    """Find the preamble in a window: SC metric for gating/CFO + LTS fine timing."""
+    from ria_tpu.dsp.hilbert import analytic_signal
+
+    n = samples.shape[-1]
+    N = cfg.fft_size
+    half = N // 2
+    sym = cfg.symbol_samples
+
+    z = analytic_signal(samples)
+    zc = jnp.conj(z[..., :-half]) * z[..., half:]
+    # P(d) over window [d+cp, d+cp+half): sliding sums via cumsum.
+    def sliding(x, w):
+        c = jnp.cumsum(x, axis=-1)
+        zero = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+        cs = jnp.concatenate([zero, c], axis=-1)
+        return cs[..., w:] - cs[..., :-w]
+
+    P = sliding(zc, half)                       # P[j] = sum over [j, j+half)
+    absz2 = jnp.square(jnp.abs(z))
+    R1 = sliding(absz2[..., :], half)
+    R2 = sliding(absz2[..., half:], half)
+    m = min(P.shape[-1], R2.shape[-1])
+    P, R1, R2 = P[..., :m], R1[..., :m], R2[..., :m]
+    M = jnp.abs(P) / jnp.sqrt(jnp.maximum(R1 * R2, 1e-20))
+
+    # offset d has data_start = d + cp -> metric index j = d + cp
+    num_lags = max(m - cfg.cp_len, 1)
+    Md = M[..., cfg.cp_len : cfg.cp_len + num_lags]
+    peak = jnp.argmax(Md, axis=-1).astype(jnp.int32)
+    peak_val = jnp.take_along_axis(Md, peak[..., None], -1)[..., 0]
+
+    # CFO at the peak.
+    Pd = P[..., cfg.cp_len : cfg.cp_len + num_lags]
+    P_peak = jnp.take_along_axis(Pd, peak[..., None], -1)[..., 0]
+    cfo = jnp.angle(P_peak) * cfg.sample_rate / (jnp.pi * N)
+    max_cfo = cfg.sample_rate / N
+    cfo = jnp.clip(cfo, -max_cfo, max_cfo)
+
+    # LTS fine timing: passband cross-correlation of the known LTS symbol.
+    lts = _lts_symbol(cfg)
+    t = np.arange(len(lts), dtype=np.float64) / cfg.sample_rate
+    # LTS template as TX'd when it follows 4 STS symbols (mixer phase offset);
+    # correlation magnitude over the analytic template is phase-invariant, so
+    # the offset does not matter.
+    lts_pass = (np.real(lts * np.exp(2j * np.pi * cfg.center_freq *
+                                     (t * cfg.sample_rate + 4 * sym) / cfg.sample_rate))
+                * cfg.output_scale).astype(np.float32)
+    lts_analytic = np.asarray(
+        np.exp(2j * np.pi * cfg.center_freq * (np.arange(len(lts)) + 4 * sym) / cfg.sample_rate)
+        * lts * cfg.output_scale, np.complex64)
+    ref_energy = float(np.sum(np.abs(lts_analytic) ** 2)) * 0.5
+
+    L = len(lts)
+    nfft = 1 << (n + L - 1).bit_length()
+    X = jnp.fft.fft(samples.astype(jnp.complex64), nfft)
+    H = jnp.conj(jnp.fft.fft(jnp.asarray(lts_analytic), nfft))
+    xc = jnp.fft.ifft(X * H)[..., : max(n - L, 1)]
+    e = sliding(jnp.square(samples.astype(jnp.float32)), L)[..., : xc.shape[-1]]
+    lts_corr_all = jnp.abs(xc) / jnp.sqrt(jnp.maximum(e * ref_energy, 1e-12))
+
+    # Restrict to the window around the expected LTS (peak + 4 sym +/- search).
+    expected = peak + 4 * sym
+    lags = jnp.arange(lts_corr_all.shape[-1], dtype=jnp.int32)
+    lo = expected - 3 * sym
+    hi = expected + sym // 2
+    masked = jnp.where((lags >= lo) & (lags <= hi), lts_corr_all, -1.0)
+    lts_pos = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    lts_val = jnp.take_along_axis(masked, lts_pos[..., None], -1)[..., 0]
+
+    # Prefer the earlier of the two LTS repeats (92% rule).
+    prev_pos = jnp.maximum(lts_pos - sym, 0)
+    prev_val = jnp.take_along_axis(lts_corr_all, prev_pos[..., None], -1)[..., 0]
+    take_prev = (lts_pos >= sym) & (prev_val >= lts_val * 0.92)
+    lts_pos = jnp.where(take_prev, prev_pos, lts_pos)
+    lts_val = jnp.where(take_prev, prev_val, lts_val)
+
+    lts_threshold = 0.05 if cfg.fft_size >= 1024 else 0.35
+    detected = (peak_val > cfg.sync_threshold) & (lts_val > lts_threshold)
+
+    return SCSyncResult(
+        detected=detected,
+        lts_start=jnp.where(detected, lts_pos, -1),
+        cfo_hz=jnp.where(detected, cfo, 0.0),
+        metric=peak_val,
+        lts_corr=lts_val,
+    )
+
+
+# ============================================================================
+# RX: presynced demodulation (jitted)
+# ============================================================================
+
+class OFDMDemodResult(NamedTuple):
+    soft_bits: jnp.ndarray      # [..., S*D*bps]
+    snr_db: jnp.ndarray
+    noise_var: jnp.ndarray
+    fading_index: jnp.ndarray   # CV of |H| over data carriers
+    channel_mag: jnp.ndarray    # [..., D]
+
+
+def _demap(mod: str, eq: jnp.ndarray, prev: jnp.ndarray, nv: jnp.ndarray):
+    """Vectorized per-carrier demap -> LLRs [..., D, bps]. `prev` only for
+    differential modes. LLR > 0 => bit 0 (reference convention)."""
+    def clip(l):
+        c = jnp.clip(l, -MAX_LLR, MAX_LLR)
+        return jnp.where(jnp.abs(c) < MIN_LLR_MAG,
+                         jnp.where(c >= 0, MIN_LLR_MAG, -MIN_LLR_MAG), c)
+
+    I, Q = jnp.real(eq), jnp.imag(eq)
+    if mod == "BPSK":
+        return clip(-2.0 * I / nv)[..., None]
+    if mod == "QPSK":
+        scale = -2.0 * (1 / np.sqrt(2)) / nv
+        return clip(jnp.stack([I * scale, Q * scale], axis=-1))
+    if mod == "QAM16":
+        thr = 2 / np.sqrt(10)
+        s = 2.0 / nv
+        return clip(jnp.stack([-s * I, s * (jnp.abs(I) - thr),
+                               -s * Q, s * (jnp.abs(Q) - thr)], axis=-1))
+    if mod == "QAM32":
+        pts = constellation_table("QAM32")
+        d2 = jnp.square(jnp.abs(eq[..., None] - pts))  # [..., D, 32]
+        bits = np.arange(32)
+        llrs = []
+        s = 2.0 / nv
+        for b in range(5):
+            mask1 = (bits >> (4 - b)) & 1 == 1
+            d1 = jnp.min(jnp.where(mask1, d2, jnp.inf), axis=-1)
+            d0 = jnp.min(jnp.where(~mask1, d2, jnp.inf), axis=-1)
+            llrs.append(s * (d1 - d0))
+        return clip(jnp.stack(llrs, axis=-1))
+    if mod == "QAM64":
+        d4, d2c = 4 / np.sqrt(42), 2 / np.sqrt(42)
+        s = 2.0 / nv
+        return clip(jnp.stack([
+            -s * I, s * (jnp.abs(I) - d4), s * (jnp.abs(jnp.abs(I) - d4) - d2c),
+            -s * Q, s * (jnp.abs(Q) - d4), s * (jnp.abs(jnp.abs(Q) - d4) - d2c)],
+            axis=-1))
+    if mod == "QAM256":
+        d8, d4c, d2c = 8 / np.sqrt(170), 4 / np.sqrt(170), 2 / np.sqrt(170)
+        s = 2.0 / nv
+        return clip(jnp.stack([
+            -s * I, s * (jnp.abs(I) - d8), s * (jnp.abs(jnp.abs(I) - d8) - d4c),
+            s * (jnp.abs(jnp.abs(jnp.abs(I) - d8) - d4c) - d2c),
+            -s * Q, s * (jnp.abs(Q) - d8), s * (jnp.abs(jnp.abs(Q) - d8) - d4c),
+            s * (jnp.abs(jnp.abs(jnp.abs(Q) - d8) - d4c) - d2c)], axis=-1))
+
+    # Differential modes
+    diff = eq * jnp.conj(prev)
+    dI, dQ = jnp.real(diff), jnp.imag(diff)
+    signal_power = jnp.abs(eq) * jnp.abs(prev)
+    weak = signal_power < 1e-6
+    diff_nv = 2.0 * nv
+    if mod == "DBPSK":
+        phase = jnp.arctan2(dQ, dI)
+        conf = 2.0 * signal_power / diff_nv
+        llr = clip(conf * jnp.cos(phase))
+        return jnp.where(weak[..., None], 0.0, llr[..., None])
+    if mod == "DQPSK":
+        mag = jnp.abs(diff)
+        snr_lin = signal_power / diff_nv
+        scale = 2.0 * jnp.sqrt(snr_lin)
+        phase = jnp.arctan2(dQ, dI)
+        l0 = clip(scale * jnp.sin(phase + jnp.pi / 4))
+        l1 = clip(scale * (jnp.abs(dI) - jnp.abs(dQ)) / jnp.maximum(mag, 1e-9))
+        out = jnp.stack([l0, l1], axis=-1)
+        return jnp.where((mag < 1e-6)[..., None], 0.0, out)
+    if mod == "D8PSK":
+        phase = jnp.arctan2(dQ, dI)
+        conf = signal_power / diff_nv
+        out = jnp.stack([clip(conf * jnp.sin(phase)),
+                         clip(conf * jnp.sin(2 * phase)),
+                         clip(conf * jnp.sin(4 * phase))], axis=-1)
+        return jnp.where(weak[..., None], 0.0, out)
+    raise ValueError(mod)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_data_symbols", "training_symbols"))
+def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: OFDMConfig,
+                         num_data_symbols: int, training_symbols: int = 2) -> OFDMDemodResult:
+    """Demodulate [T training LTS + S data] symbols starting at the first LTS.
+
+    samples: [..., (T+S)*symbol_samples] passband audio; batched over leading
+    axes.  CFO is removed by complex downmix at center_freq + cfo.
+    """
+    T, S = training_symbols, num_data_symbols
+    sym = cfg.symbol_samples
+    need = (T + S) * sym
+    x = samples[..., :need]
+
+    _, data_bins, pilot_bins = carrier_layout(cfg)
+    D = len(data_bins)
+    mod = cfg.modulation
+
+    t = jnp.arange(need, dtype=jnp.float32) / cfg.sample_rate
+    dc = jnp.exp(-1j * 2.0 * jnp.pi * (cfg.center_freq + jnp.asarray(cfo_hz)[..., None]) * t)
+    bb = x.astype(jnp.complex64) * dc
+
+    syms = bb.reshape(bb.shape[:-1] + (T + S, sym))
+    core = syms[..., cfg.cp_len : cfg.cp_len + cfg.fft_size]
+    freq = jnp.fft.fft(core, axis=-1)  # [..., T+S, fft]
+
+    Y_data = freq[..., data_bins]      # [..., T+S, D]
+    Y_pilot = freq[..., pilot_bins] if len(pilot_bins) else None
+
+    # LTS channel estimate: H = mean(Y / X_known) over training symbols.
+    seq = sync_sequence(cfg)
+    lts_data = seq[np.arange(D) % len(seq)]
+    H_data = jnp.mean(Y_data[..., :T, :] / lts_data, axis=-2)  # [..., D]
+    if Y_pilot is not None:
+        H_pilot = jnp.mean(Y_pilot[..., :T, :] / pilot_sequence(cfg), axis=-2)
+
+    # Noise variance from LTS repeat difference (per-carrier avg, /2 for the
+    # difference of two noisy copies).
+    if T >= 2:
+        d = (Y_data[..., 1, :] - Y_data[..., 0, :])
+        noise_var = jnp.mean(jnp.square(jnp.abs(d)), axis=-1) / 2.0
+    else:
+        noise_var = jnp.mean(jnp.square(jnp.abs(H_data)), axis=-1) / DEFAULT_SNR_LINEAR
+    noise_var = jnp.maximum(noise_var, 1e-9)
+
+    h_power = jnp.square(jnp.abs(H_data))
+    avg_h_power = jnp.mean(h_power, axis=-1, keepdims=True)
+    fade_thr = FADE_THRESHOLD_RATIO * avg_h_power
+
+    # Pilot-based common phase correction per data symbol.
+    Yd = Y_data[..., T:, :]  # [..., S, D]
+    if Y_pilot is not None and len(pilot_bins) > 0:
+        Yp = Y_pilot[..., T:, :]
+        expect = H_pilot[..., None, :] * pilot_sequence(cfg)
+        rot = jnp.sum(Yp * jnp.conj(expect), axis=-1)  # [..., S]
+        phase = jnp.angle(rot)
+        Yd = Yd * jnp.exp(-1j * phase)[..., None]
+
+    # MMSE equalization (broadcast over symbols).
+    nv = noise_var[..., None, None]
+    denom = h_power[..., None, :] + nv
+    eq = Yd * jnp.conj(H_data[..., None, :]) / jnp.maximum(denom, 1e-10)
+    carrier_nv = nv / jnp.maximum(denom, 1e-10)
+    carrier_nv = jnp.where(h_power[..., None, :] < fade_thr[..., None, :],
+                           MAX_CARRIER_NOISE_VAR, carrier_nv)
+    carrier_nv = jnp.clip(carrier_nv, MIN_CARRIER_NOISE_VAR, MAX_CARRIER_NOISE_VAR)
+    carrier_nv = jnp.broadcast_to(carrier_nv, eq.shape)
+
+    # Per-carrier EMA instability inflation + differential chain: scan over S.
+    ce_margin = CE_MARGIN[mod]
+
+    def scan_fn(carry, inp):
+        ema, var, prev = carry
+        eq_s, nv_s = inp  # [..., D]
+        mag = jnp.abs(eq_s)
+        delta = mag - ema
+        ema_n = ema + MAG_EMA_ALPHA * delta
+        var_n = var + MAG_EMA_ALPHA * (delta * delta - var)
+        norm_var = var / jnp.maximum(ema * ema, 1e-6)
+        nv_eff = nv_s * ce_margin * (1.0 + CARRIER_ADAPTIVE_K * norm_var)
+        llr = _demap(mod, eq_s, prev, nv_eff)
+        return (ema_n, var_n, eq_s), llr
+
+    eq_t = jnp.moveaxis(eq, -2, 0)          # [S, ..., D]
+    nv_t = jnp.moveaxis(carrier_nv, -2, 0)
+    ema0 = jnp.abs(eq_t[0])
+    var0 = jnp.zeros_like(ema0)
+    prev0 = jnp.ones_like(eq_t[0])
+    (_, _, _), llrs = jax.lax.scan(scan_fn, (ema0, var0, prev0), (eq_t, nv_t))
+    # llrs: [S, ..., D, bps] -> [..., S*D*bps]
+    llrs = jnp.moveaxis(llrs, 0, -3)
+    soft = llrs.reshape(llrs.shape[:-3] + (S * D * BITS_PER_SYMBOL[mod],))
+
+    h_mag = jnp.abs(H_data)
+    mean_h = jnp.mean(h_mag, axis=-1)
+    fading = jnp.where(mean_h > 1e-9, jnp.std(h_mag, axis=-1) / jnp.maximum(mean_h, 1e-9), 0.0)
+    snr_db = 10.0 * jnp.log10(jnp.maximum(avg_h_power[..., 0] / noise_var, 1e-6))
+
+    return OFDMDemodResult(soft_bits=soft, snr_db=snr_db, noise_var=noise_var,
+                           fading_index=fading, channel_mag=h_mag)

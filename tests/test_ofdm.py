@@ -1,0 +1,110 @@
+"""OFDM waveform tests: loopback at the reference operating points.
+
+BASELINE.md targets covered:
+- OFDM DQPSK R1/2, AWGN 15 dB (config #3 path)
+- OFDM QAM16/32/64 coherent with pilots, AWGN 25 dB (config #4 path)
+- Schmidl-Cox sync + CFO estimation
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ria_tpu.fec import LDPCCodec
+from ria_tpu.sim import apply_channel, awgn, good
+from ria_tpu.utils.bits import bytes_to_bits
+from ria_tpu.wave.ofdm import (
+    OFDMConfig, demodulate_presynced, generate_preamble, modulate,
+    schmidl_cox_search, tx_frame, constellation_table, BITS_PER_SYMBOL,
+)
+
+
+def _loopback(cfg, rate, payload, snr_db, seed=0, channel=None):
+    codec = LDPCCodec(rate)
+    coded = codec.encode(payload)
+    bits = bytes_to_bits(coded)
+    num_bits = len(bits)
+    tx = tx_frame(bits, cfg, preamble="cox")
+    audio = np.concatenate([np.zeros(3000, np.float32), tx, np.zeros(4000, np.float32)])
+    ch = channel or awgn(snr_db)
+    out = np.asarray(apply_channel(jnp.asarray(audio), jax.random.PRNGKey(seed), ch).samples)
+
+    sync = schmidl_cox_search(jnp.asarray(out), cfg)
+    assert bool(sync.detected), f"no sync: metric={float(sync.metric):.3f} lts={float(sync.lts_corr):.3f}"
+    start = int(sync.lts_start)
+    S = cfg.num_symbols_for_bits(num_bits)
+    need = (2 + S) * cfg.symbol_samples
+    frame = np.zeros(need, np.float32)
+    avail = out[start : start + need]
+    frame[: len(avail)] = avail
+    res = demodulate_presynced(jnp.asarray(frame), sync.cfo_hz, cfg, S, 2)
+    soft = np.asarray(res.soft_bits)[:num_bits]
+    ok, decoded = codec.decode_soft(soft)
+    return ok, decoded[: len(payload)], res, sync
+
+
+def test_constellations_unit_power():
+    for mod in ("QPSK", "QAM16", "QAM32", "QAM64", "QAM256"):
+        pts = constellation_table(mod)
+        assert abs(np.mean(np.abs(pts) ** 2) - 1.0) < 1e-3, mod
+
+
+def test_sc_sync_position_and_cfo():
+    cfg = OFDMConfig(modulation="DQPSK")
+    bits = np.random.default_rng(0).integers(0, 2, 648)
+    tx = tx_frame(bits, cfg, preamble="cox", tx_cfo_hz=10.0)
+    lead = 2500
+    audio = np.concatenate([np.zeros(lead, np.float32), tx, np.zeros(3000, np.float32)])
+    rng = np.random.default_rng(1)
+    rms = np.sqrt(np.mean(tx**2))
+    audio += rng.normal(0, rms * 10 ** (-15 / 20), audio.shape).astype(np.float32)
+    sync = schmidl_cox_search(jnp.asarray(audio), cfg)
+    assert bool(sync.detected)
+    # LTS starts after guard + 4 STS
+    expected_lts = lead + (cfg.fft_size + cfg.cp_len) + 4 * cfg.symbol_samples
+    assert abs(int(sync.lts_start) - expected_lts) <= 8, (int(sync.lts_start), expected_lts)
+    assert abs(float(sync.cfo_hz) - 10.0) < 5.0
+
+
+@pytest.mark.parametrize("snr_db", [15.0, 12.0])
+def test_dqpsk_r12_awgn(snr_db):
+    """OFDM DQPSK R1/2 @ 15 dB AWGN — reference README.md:77 floor."""
+    cfg = OFDMConfig(modulation="DQPSK", use_pilots=False)
+    payload = bytes(range(80))
+    ok, decoded, res, _ = _loopback(cfg, "R1_2", payload, snr_db)
+    assert ok, f"decode failed at {snr_db} dB (snr_est={float(res.snr_db):.1f})"
+    assert decoded == payload
+
+
+@pytest.mark.parametrize("mod,rate,snr_db,spacing", [
+    ("QPSK", "R1_2", 20.0, 5),
+    ("QAM16", "R1_2", 18.0, 5),
+    ("QAM32", "R3_4", 25.0, 8),
+    ("QAM64", "R3_4", 25.0, 8),
+])
+def test_coherent_qam_awgn(mod, rate, snr_db, spacing):
+    """Coherent pilot-assisted modes at their README operating points."""
+    cfg = OFDMConfig(modulation=mod, use_pilots=True, pilot_spacing=spacing)
+    payload = bytes(range(100))
+    ok, decoded, res, _ = _loopback(cfg, rate, payload, snr_db)
+    assert ok, f"{mod} {rate} failed at {snr_db} dB (snr_est={float(res.snr_db):.1f})"
+    assert decoded == payload
+
+
+def test_dqpsk_fading_good():
+    """DQPSK R1/4 through the Good fading channel at 16 dB."""
+    cfg = OFDMConfig(modulation="DQPSK")
+    payload = bytes(range(40))
+    ok, decoded, res, _ = _loopback(cfg, "R1_4", payload, 16.0, seed=3, channel=good(16.0))
+    assert ok
+    assert decoded == payload
+
+
+def test_dbpsk_mode():
+    cfg = OFDMConfig(modulation="DBPSK")
+    payload = bytes(range(40))
+    ok, decoded, _, _ = _loopback(cfg, "R1_2", payload, 12.0)
+    assert ok
+    assert decoded == payload
