@@ -1,0 +1,334 @@
+"""Waveform abstraction: unified TX/RX interface over MC-DPSK and OFDM.
+
+The TPU counterpart of the reference's IWaveform plugin interface
+(src/waveform/waveform_interface.hpp:47-220) and WaveformFactory
+(src/waveform/waveform_factory.hpp:18-60).  Each waveform provides:
+
+- configure(modulation, rate) (+ spreading for MC-DPSK)
+- tx_frame(frame_bytes, light=False): full preamble (chirp / Schmidl-Cox)
+  or the compact connected-mode preamble (ZC / LTS-only)
+- rx_frame(audio, light=False): sync search + demod + LDPC decode with the
+  reference's control-frame fast path and try-both decode strategies
+- frame_samples(n_codewords): RX buffering hints (getMinSamplesFor*)
+
+Host Python orchestrates; all signal math dispatches into the jitted
+mc_dpsk/ofdm/sync kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import numpy as np
+import jax.numpy as jnp
+
+from ria_tpu.fec import LDPCCodec
+from ria_tpu.phy import frame_v2
+from ria_tpu.phy.frame_v2 import (
+    DataFrame, WaveformMode, decode_codewords, encode_frame_ldpc,
+    encode_fixed_frame, decode_fixed_frame, parse_header, reassemble_codewords,
+)
+from ria_tpu.phy.modem import RxFrame
+from ria_tpu.sync import chirp as chirp_sync
+from ria_tpu.sync import zc as zc_sync
+from ria_tpu.wave import mc_dpsk, ofdm
+from ria_tpu.wave.selection import recommended_pilot_spacing
+
+LDPC_BITS = 648
+
+
+def _is_control_bytes(frame_bytes: bytes) -> bool:
+    return len(frame_bytes) == 20 and (
+        0x10 <= frame_bytes[2] <= 0x21 or frame_bytes[2] == 0x40)
+
+
+class MCDPSKWaveform:
+    """MC-DPSK: chirp handshake preamble, ZC connected-mode preamble."""
+
+    mode = WaveformMode.MC_DPSK
+
+    def __init__(self, num_carriers: int = 10, modulation: str = "DBPSK",
+                 rate: str = "R1_4", spreading: int = 1,
+                 channel_interleave: bool = False):
+        self.cfg = mc_dpsk.MCDPSKConfig(
+            num_carriers=num_carriers,
+            bits_per_symbol=2 if modulation == "DQPSK" else 1,
+            spreading=spreading)
+        self.modulation = modulation
+        self.rate = rate
+        self.channel_interleave = channel_interleave
+        self.zc_cfg = zc_sync.ZCConfig()
+
+    def configure(self, modulation: str, rate: str, spreading: int = 1,
+                  num_carriers: int | None = None):
+        self.modulation = modulation
+        self.rate = rate
+        self.cfg = replace(self.cfg,
+                           bits_per_symbol=2 if modulation == "DQPSK" else 1,
+                           spreading=spreading,
+                           num_carriers=num_carriers or self.cfg.num_carriers)
+
+    @property
+    def _ci_bits(self) -> int | None:
+        return self.cfg.bits_per_mc_symbol if self.channel_interleave else None
+
+    # ------------------------------------------------------------------ TX
+    def _encode_bits(self, frame_bytes: bytes):
+        is_ctrl = _is_control_bytes(frame_bytes)
+        ci = None if is_ctrl else self._ci_bits
+        cw_bits = encode_frame_ldpc(frame_bytes, self.rate, ci)
+        if not is_ctrl and len(frame_bytes) >= 17 and frame_bytes[12] != len(cw_bits):
+            patched = bytearray(frame_bytes)
+            patched[12] = len(cw_bits)
+            patched[15:17] = frame_v2.crc16(bytes(patched[:15])).to_bytes(2, "big")
+            patched[-2:] = frame_v2.crc16(bytes(patched[:-2])).to_bytes(2, "big")
+            cw_bits = encode_frame_ldpc(bytes(patched), self.rate, ci)
+        return cw_bits, is_ctrl
+
+    def tx_frame(self, frame_bytes: bytes, light: bool = False,
+                 tx_cfo_hz: float = 0.0) -> np.ndarray:
+        cw_bits, is_ctrl = self._encode_bits(frame_bytes)
+        bits = cw_bits.reshape(-1)
+        body = mc_dpsk.modulate(bits, self.cfg)
+        if light:
+            ftype = zc_sync.ZC_CONTROL if is_ctrl else zc_sync.ZC_DATA
+            zc = zc_sync.generate_preamble(self.zc_cfg, ftype)
+            train = mc_dpsk._synthesize(mc_dpsk._training_matrix(self.cfg), self.cfg)
+            ref = mc_dpsk._synthesize(
+                np.ones((1, self.cfg.num_carriers), np.complex64), self.cfg)
+            return np.concatenate([zc, train, ref, body]).astype(np.float32)
+        return np.concatenate([mc_dpsk.preamble(self.cfg, tx_cfo_hz), body])
+
+    def frame_samples(self, num_codewords: int, light: bool = False) -> int:
+        n_bits = num_codewords * LDPC_BITS
+        body = self.cfg.num_rx_symbols(n_bits) * self.cfg.samples_per_symbol
+        train_ref = (self.cfg.training_symbols + 1) * self.cfg.samples_per_symbol
+        head = self.zc_cfg.preamble_samples if light else self.cfg.chirp.total_samples
+        return head + train_ref + body
+
+    # ------------------------------------------------------------------ RX
+    def detect_sync(self, audio: np.ndarray, light: bool = False):
+        x = jnp.asarray(np.asarray(audio, np.float32))
+        if light:
+            res = zc_sync.detect(x, self.zc_cfg,
+                                 root_mask=zc_sync.ROOT_MASK_DATA | zc_sync.ROOT_MASK_CONTROL)
+            if not bool(res.detected):
+                return None
+            return {"start": int(res.start_sample), "cfo_hz": float(res.cfo_hz),
+                    "corr": float(res.correlation), "kind": "zc",
+                    "zc_type": int(res.frame_type)}
+        res = chirp_sync.detect_dual_chirp(x, self.cfg.chirp)
+        if not bool(res.detected):
+            return None
+        return {"start": int(res.start) + self.cfg.chirp.total_samples,
+                "cfo_hz": float(res.cfo_hz),
+                "corr": float(max(float(res.up_corr), float(res.down_corr))),
+                "kind": "chirp"}
+
+    def _demod_bits(self, audio, start, cfo, num_bits):
+        n_sym = self.cfg.num_data_symbols(num_bits)
+        need = (self.cfg.training_symbols + 1 + n_sym * self.cfg.spreading) \
+            * self.cfg.samples_per_symbol
+        frame = np.zeros(need, np.float32)
+        avail = np.asarray(audio[start:start + need], np.float32)
+        frame[: len(avail)] = avail
+        res = mc_dpsk.demodulate(jnp.asarray(frame), jnp.float32(cfo), self.cfg, n_sym)
+        return np.asarray(res.soft_bits)[:num_bits], res
+
+    def rx_frame(self, audio: np.ndarray, light: bool = False) -> RxFrame:
+        sync = self.detect_sync(audio, light)
+        if sync is None:
+            return RxFrame(False, None, None, None, None)
+        start, cfo = sync["start"], sync["cfo_hz"]
+
+        soft0, _ = self._demod_bits(audio, start, cfo, LDPC_BITS)
+        header = None
+        for ci in ([None, self._ci_bits] if self._ci_bits else [None]):
+            ok0, chunk0 = decode_codewords(soft0[None, :], self.rate, ci)
+            if ok0[0]:
+                h = parse_header(chunk0[0])
+                if h is not None:
+                    header = h
+                    break
+        if header is None:
+            return RxFrame(False, None, None, None, soft0, cfo_hz=cfo,
+                           start_sample=start)
+
+        total_cw = 1 if header["is_control"] else max(1, int(header["total_cw"]))
+        soft, res = self._demod_bits(audio, start, cfo, total_cw * LDPC_BITS)
+        ci = None if header["is_control"] else self._ci_bits
+        oks, chunks = decode_codewords(soft.reshape(total_cw, LDPC_BITS), self.rate, ci)
+        frame_bytes = reassemble_codewords(list(chunks), self.rate) if oks.all() else None
+        ok = bool(oks.all())
+        if ok and not header["is_control"]:
+            ok = DataFrame.deserialize(frame_bytes) is not None
+        return RxFrame(ok, frame_bytes, header, oks, soft,
+                       snr_db=float(res.snr_estimate_db),
+                       fading_index=float(res.freq_fading_index + res.temporal_fading_index),
+                       cfo_hz=cfo, start_sample=start)
+
+
+class _OFDMWaveformBase:
+    """Shared OFDM TX/RX: control frames hardened to DQPSK R1/4 variable-CW,
+    data frames fixed 4-CW with frame interleave (streaming_encoder.cpp)."""
+
+    def __init__(self, modulation: str = "DQPSK", rate: str = "R1_2",
+                 channel_interleave: bool = False):
+        self.modulation = modulation
+        self.rate = rate
+        self.channel_interleave = channel_interleave
+        self._rebuild()
+
+    def _rebuild(self):
+        use_pilots = self.modulation in ("BPSK", "QPSK", "QAM16", "QAM32", "QAM64", "QAM256")
+        spacing = recommended_pilot_spacing(self.modulation, self.rate)
+        self.cfg = ofdm.OFDMConfig(modulation=self.modulation,
+                                   use_pilots=use_pilots, pilot_spacing=spacing)
+        self.ctrl_cfg = ofdm.OFDMConfig(modulation="DQPSK", use_pilots=False)
+
+    def configure(self, modulation: str, rate: str):
+        self.modulation = modulation
+        self.rate = rate
+        self._rebuild()
+
+    @property
+    def _ci_bits(self) -> int | None:
+        if not self.channel_interleave:
+            return None
+        return self.cfg.bits_per_ofdm_symbol()
+
+    def _encode(self, frame_bytes: bytes):
+        """-> (bits, cfg_used, is_ctrl)."""
+        if _is_control_bytes(frame_bytes):
+            cw_bits = encode_frame_ldpc(frame_bytes, "R1_4", None)
+            return cw_bits.reshape(-1), self.ctrl_cfg, True
+        bits = encode_fixed_frame(frame_bytes, self.rate, self._ci_bits)
+        return bits, self.cfg, False
+
+    def frame_samples(self, num_codewords: int = 4, control: bool = False) -> int:
+        cfg = self.ctrl_cfg if control else self.cfg
+        S = cfg.num_symbols_for_bits(num_codewords * LDPC_BITS)
+        return self.preamble_samples() + (2 + S) * cfg.symbol_samples
+
+    # -------------------------------------------------------------- RX core
+    def _demod(self, audio, lts_start, cfo, cfg, num_bits):
+        S = cfg.num_symbols_for_bits(num_bits)
+        need = (2 + S) * cfg.symbol_samples
+        frame = np.zeros(need, np.float32)
+        avail = np.asarray(audio[lts_start:lts_start + need], np.float32)
+        frame[: len(avail)] = avail
+        res = ofdm.demodulate_presynced(jnp.asarray(frame), jnp.float32(cfo), cfg, S, 2)
+        return np.asarray(res.soft_bits)[:num_bits], res
+
+    def _rx_at(self, audio, lts_start, cfo) -> RxFrame:
+        # Control fast path: DQPSK R1/4 single codeword.
+        soft0, res0 = self._demod(audio, lts_start, cfo, self.ctrl_cfg, LDPC_BITS)
+        ok0, chunk0 = decode_codewords(soft0[None, :], "R1_4", None)
+        if ok0[0]:
+            header = parse_header(chunk0[0])
+            if header is not None and header["is_control"]:
+                return RxFrame(True, chunk0[0][:20], header, ok0, soft0,
+                               snr_db=float(res0.snr_db),
+                               fading_index=float(res0.fading_index),
+                               cfo_hz=cfo, start_sample=lts_start)
+
+        # Data path: fixed 4-CW frame at the negotiated profile.
+        num_bits = 4 * LDPC_BITS
+        soft, res = self._demod(audio, lts_start, cfo, self.cfg, num_bits)
+        oks, frame_bytes = decode_fixed_frame(soft, self.rate, self._ci_bits)
+        if frame_bytes is None and self._ci_bits:
+            oks, frame_bytes = decode_fixed_frame(soft, self.rate, None)
+        ok = frame_bytes is not None
+        header = parse_header(frame_bytes[:20]) if ok else None
+        if ok and header is not None and not header["is_control"]:
+            ok = DataFrame.deserialize(frame_bytes) is not None
+        return RxFrame(ok and header is not None, frame_bytes, header, oks, soft,
+                       snr_db=float(res.snr_db), fading_index=float(res.fading_index),
+                       cfo_hz=cfo, start_sample=lts_start)
+
+
+class OFDMCoxWaveform(_OFDMWaveformBase):
+    """OFDM with Schmidl-Cox sync ("OFDM-COX", stable/NVIS channels)."""
+
+    mode = WaveformMode.OFDM_COX
+
+    def preamble_samples(self) -> int:
+        return self.cfg.preamble_samples
+
+    def tx_frame(self, frame_bytes: bytes, light: bool = False,
+                 tx_cfo_hz: float = 0.0) -> np.ndarray:
+        bits, cfg, _ = self._encode(frame_bytes)
+        return ofdm.tx_frame(bits, cfg, preamble="cox", tx_cfo_hz=tx_cfo_hz)
+
+    def detect_sync(self, audio: np.ndarray, light: bool = False):
+        res = ofdm.schmidl_cox_search(jnp.asarray(np.asarray(audio, np.float32)), self.cfg)
+        if not bool(res.detected):
+            return None
+        return {"start": int(res.lts_start), "cfo_hz": float(res.cfo_hz),
+                "corr": float(res.metric), "kind": "sc"}
+
+    def rx_frame(self, audio: np.ndarray, light: bool = False) -> RxFrame:
+        sync = self.detect_sync(audio)
+        if sync is None:
+            return RxFrame(False, None, None, None, None)
+        return self._rx_at(audio, sync["start"], sync["cfo_hz"])
+
+
+class OFDMChirpWaveform(_OFDMWaveformBase):
+    """OFDM with dual-chirp acquisition + LTS; LTS-only light preamble."""
+
+    mode = WaveformMode.OFDM_CHIRP
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.chirp_cfg = chirp_sync.ChirpConfig()
+
+    def preamble_samples(self) -> int:
+        return self.chirp_cfg.total_samples
+
+    def tx_frame(self, frame_bytes: bytes, light: bool = False,
+                 tx_cfo_hz: float = 0.0) -> np.ndarray:
+        bits, cfg, _ = self._encode(frame_bytes)
+        body = ofdm.tx_frame(bits, cfg, preamble="lts", training_count=2,
+                             tx_cfo_hz=tx_cfo_hz)
+        if light:
+            return body
+        chirp = chirp_sync.generate(self.chirp_cfg, tx_cfo_hz)
+        return np.concatenate([chirp, body]).astype(np.float32)
+
+    def detect_sync(self, audio: np.ndarray, light: bool = False):
+        x = jnp.asarray(np.asarray(audio, np.float32))
+        if light:
+            res = ofdm.lts_search(x, self.cfg)
+            if not bool(res.detected):
+                return None
+            return {"start": int(res.lts_start), "cfo_hz": 0.0,
+                    "corr": float(res.corr), "kind": "lts"}
+        res = chirp_sync.detect_dual_chirp(x, self.chirp_cfg)
+        if not bool(res.detected):
+            return None
+        return {"start": int(res.start) + self.chirp_cfg.total_samples,
+                "cfo_hz": float(res.cfo_hz),
+                "corr": float(max(float(res.up_corr), float(res.down_corr))),
+                "kind": "chirp"}
+
+    def rx_frame(self, audio: np.ndarray, light: bool = False) -> RxFrame:
+        sync = self.detect_sync(audio, light)
+        if sync is None:
+            return RxFrame(False, None, None, None, None)
+        return self._rx_at(audio, sync["start"], sync["cfo_hz"])
+
+
+def create_waveform(mode: WaveformMode, modulation: str | None = None,
+                    rate: str | None = None, **kw):
+    """WaveformFactory equivalent (waveform_factory.hpp:18-60)."""
+    if mode == WaveformMode.MC_DPSK:
+        return MCDPSKWaveform(modulation=modulation or "DBPSK",
+                              rate=rate or "R1_4", **kw)
+    if mode == WaveformMode.OFDM_CHIRP:
+        return OFDMChirpWaveform(modulation=modulation or "DQPSK",
+                                 rate=rate or "R1_2", **kw)
+    if mode == WaveformMode.OFDM_COX:
+        return OFDMCoxWaveform(modulation=modulation or "QPSK",
+                               rate=rate or "R1_2", **kw)
+    raise NotImplementedError(f"waveform mode {mode}")

@@ -420,6 +420,52 @@ def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
     )
 
 
+class LTSSyncResult(NamedTuple):
+    detected: jnp.ndarray
+    lts_start: jnp.ndarray
+    corr: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "threshold"))
+def lts_search(samples: jnp.ndarray, cfg: OFDMConfig, threshold: float = 0.2) -> LTSSyncResult:
+    """Find an LTS training symbol by passband cross-correlation (light
+    preamble / chirp-acquisition frames where no STS is transmitted).
+
+    The LTS template here is mixed from t=0 (chirp-mode TX resets the mixer at
+    training start); correlation magnitude is phase-invariant anyway.
+    Prefers the earlier of two adjacent LTS repeats (92% rule).
+    """
+    n = samples.shape[-1]
+    sym = cfg.symbol_samples
+    lts = _lts_symbol(cfg)
+    L = len(lts)
+    lts_analytic = np.asarray(
+        np.exp(2j * np.pi * cfg.center_freq * np.arange(L) / cfg.sample_rate) * lts
+        * cfg.output_scale, np.complex64)
+    ref_energy = float(np.sum(np.abs(lts_analytic) ** 2)) * 0.5
+
+    nfft = 1 << (n + L - 1).bit_length()
+    X = jnp.fft.fft(samples.astype(jnp.complex64), nfft)
+    H = jnp.conj(jnp.fft.fft(jnp.asarray(lts_analytic), nfft))
+    xc = jnp.fft.ifft(X * H)[..., : max(n - L, 1)]
+
+    c = jnp.cumsum(jnp.square(samples.astype(jnp.float32)), axis=-1)
+    zero = jnp.zeros(samples.shape[:-1] + (1,), jnp.float32)
+    cs = jnp.concatenate([zero, c], axis=-1)
+    e = (cs[..., L:] - cs[..., :-L])[..., : xc.shape[-1]]
+    corr = jnp.abs(xc) / jnp.sqrt(jnp.maximum(e * ref_energy, 1e-12))
+
+    pos = jnp.argmax(corr, axis=-1).astype(jnp.int32)
+    val = jnp.take_along_axis(corr, pos[..., None], -1)[..., 0]
+    prev_pos = jnp.maximum(pos - sym, 0)
+    prev_val = jnp.take_along_axis(corr, prev_pos[..., None], -1)[..., 0]
+    take_prev = (pos >= sym) & (prev_val >= val * 0.92)
+    pos = jnp.where(take_prev, prev_pos, pos)
+    val = jnp.where(take_prev, prev_val, val)
+    det = val > threshold
+    return LTSSyncResult(det, jnp.where(det, pos, -1), val)
+
+
 # ============================================================================
 # RX: presynced demodulation (jitted)
 # ============================================================================

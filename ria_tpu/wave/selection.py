@@ -1,0 +1,141 @@
+"""Waveform / modulation / rate selection tables.
+
+Straight port of the reference's empirically verified decision tables
+(src/protocol/waveform_selection.hpp:40-317) — these thresholds ARE the
+product of the reference's seed-sweep testing and are treated as data:
+
+- fading classes: <0.15 AWGN, <0.65 Good, <1.10 Moderate, else Heavy;
+- MC-DPSK ladder: 4x spread below -7 dB (floor -14), 2x below -3 (floor -8),
+  DBPSK below +5 (floor -4), DQPSK to +10 (floor +5);
+- OFDM ladder: QAM64/32/16 R3/4 on AWGN at 25/22/18 dB, QAM16 R2/3 on good
+  fading at 22 dB, DQPSK with selectOFDMCodeRate elsewhere;
+- OFDM code rate: R3/4 AWGN>=20, R2/3 good>=20, R1/2 <1.10 fading >=15,
+  else R1/4; handshake bootstrap caps R3/4->R2/3 and R2/3->R1/2 unless the
+  channel is near-ideal.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ria_tpu.phy.frame_v2 import WaveformMode
+
+
+@dataclass
+class WaveformRecommendation:
+    waveform: WaveformMode
+    modulation: str
+    rate: str
+    spreading: int = 1
+    num_carriers: int = 10
+    estimated_throughput_bps: float = 0.0
+
+
+def select_ofdm_code_rate(snr_db: float, fading_index: float) -> str:
+    if fading_index < 0.15 and snr_db >= 20.0:
+        return "R3_4"
+    if fading_index < 0.65 and snr_db >= 20.0:
+        return "R2_3"
+    if fading_index < 1.10 and snr_db >= 15.0:
+        return "R1_2"
+    return "R1_4"
+
+
+def cap_initial_ofdm_rate(snr_db: float, fading_index: float, candidate: str) -> str:
+    if candidate == "R3_4":
+        if fading_index >= 0.05 or snr_db < 24.0:
+            return "R2_3"
+        return candidate
+    if candidate == "R2_3":
+        if fading_index >= 0.45 or snr_db < 24.0:
+            return "R1_2"
+    return candidate
+
+
+def _dqpsk_bps(rate: str) -> float:
+    return {"R3_4": 3900.0, "R2_3": 3200.0, "R1_2": 2300.0}.get(rate, 1150.0)
+
+
+def recommend_waveform_and_rate(snr_db: float, fading_index: float) -> WaveformRecommendation:
+    if snr_db < -7.0:
+        return WaveformRecommendation(WaveformMode.MC_DPSK, "DBPSK", "R1_4",
+                                      spreading=4, estimated_throughput_bps=117.0)
+    if snr_db < -3.0:
+        return WaveformRecommendation(WaveformMode.MC_DPSK, "DBPSK", "R1_4",
+                                      spreading=2, estimated_throughput_bps=235.0)
+    if snr_db < 5.0:
+        return WaveformRecommendation(WaveformMode.MC_DPSK, "DBPSK", "R1_4",
+                                      estimated_throughput_bps=469.0)
+    if snr_db < 10.0:
+        return WaveformRecommendation(WaveformMode.MC_DPSK, "DQPSK", "R1_4",
+                                      estimated_throughput_bps=938.0)
+    if fading_index < 0.15:
+        if snr_db >= 25.0:
+            return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "QAM64", "R3_4",
+                                          estimated_throughput_bps=7200.0)
+        if snr_db >= 22.0:
+            return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "QAM32", "R3_4",
+                                          estimated_throughput_bps=6000.0)
+        if snr_db >= 18.0:
+            rate = select_ofdm_code_rate(snr_db, fading_index)
+            bps = {"R3_4": 4800.0, "R2_3": 4000.0, "R1_2": 3000.0}.get(rate, 1500.0)
+            return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "QAM16", rate,
+                                          estimated_throughput_bps=bps)
+        rate = select_ofdm_code_rate(snr_db, fading_index)
+        return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "DQPSK", rate,
+                                      estimated_throughput_bps=_dqpsk_bps(rate))
+    if fading_index < 0.65 and snr_db >= 10.0:
+        if snr_db >= 22.0:
+            return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "QAM16", "R2_3",
+                                          estimated_throughput_bps=4000.0)
+        rate = select_ofdm_code_rate(snr_db, fading_index)
+        return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "DQPSK", rate,
+                                      estimated_throughput_bps=_dqpsk_bps(rate))
+    if fading_index < 1.10 and snr_db >= 10.0:
+        rate = select_ofdm_code_rate(snr_db, fading_index)
+        return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "DQPSK", rate,
+                                      estimated_throughput_bps=_dqpsk_bps(rate))
+    if snr_db >= 10.0:
+        return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "DQPSK", "R1_4",
+                                      estimated_throughput_bps=1150.0)
+    return WaveformRecommendation(WaveformMode.MC_DPSK, "DQPSK", "R1_4",
+                                  estimated_throughput_bps=938.0)
+
+
+def recommend_data_mode(snr_db: float, waveform: WaveformMode,
+                        fading_index: float = 0.0) -> tuple[str, str, int]:
+    """(modulation, rate, spreading) for an established connection."""
+    if waveform == WaveformMode.MC_DPSK:
+        if snr_db < -7.0:
+            return "DBPSK", "R1_4", 4
+        if snr_db < -3.0:
+            return "DBPSK", "R1_4", 2
+        if snr_db < 5.0:
+            return "DBPSK", "R1_4", 1
+        return "DQPSK", "R1_4", 1
+
+    if fading_index < 0.15:
+        if snr_db >= 25.0:
+            return "QAM64", "R3_4", 1
+        if snr_db >= 22.0:
+            return "QAM32", "R3_4", 1
+        if snr_db >= 18.0:
+            return "QAM16", select_ofdm_code_rate(snr_db, fading_index), 1
+    elif fading_index < 0.65:
+        if snr_db >= 22.0:
+            return "QAM16", "R2_3", 1
+    return "DQPSK", select_ofdm_code_rate(snr_db, fading_index), 1
+
+
+def recommended_pilot_spacing(modulation: str, rate: str) -> int:
+    """Reference include/ultra/ofdm_link_adaptation.hpp:26-60."""
+    coherent = modulation in ("BPSK", "QPSK", "QAM16", "QAM32", "QAM64", "QAM256")
+    if coherent:
+        if rate in ("R5_6", "R7_8"):
+            return 6
+        if rate == "R3_4":
+            return 8
+        return 5
+    if modulation == "D8PSK":
+        return 8 if rate in ("R3_4", "R2_3", "R1_2") else 10
+    return 15 if rate == "R3_4" else 10
