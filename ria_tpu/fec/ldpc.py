@@ -145,7 +145,7 @@ def decode_with_retries(llrs: np.ndarray, rate: str, max_iters: int | None = Non
 
     llrs = np.asarray(llrs, np.float32)
     result = make_decoder(rate, max_iters, base_factor)(llrs)
-    success = np.asarray(result.success)
+    success = np.array(result.success)
     if success.all():
         return result
 

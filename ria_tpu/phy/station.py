@@ -1,0 +1,212 @@
+"""Station runtime: the ModemEngine-equivalent gluing waveforms + protocol.
+
+Mirrors the reference's modem runtime behavior (src/gui/modem/modem_engine.*,
+streaming_decoder.*) in block-processing form:
+
+- TX: protocol frames -> waveform TX (handshake frames on the chirp-preamble
+  handshake waveform, connected traffic on the negotiated waveform with
+  light preambles), queued as audio;
+- RX: ring buffer + sync search + decode; PING/PONG are chirp + raw uncoded
+  "ULTR" bits (frame_v2.hpp:363-397), discriminated from data frames after
+  chirp detection, with PING vs PONG resolved by connection context;
+- incremental readiness: decode is attempted only once the buffer can hold
+  the full frame implied by the CW0 header (streaming_decoder
+  checkIfReadyToDecode), with sync-position backoff on failures.
+
+Used by the lock-step dual-station simulator (tier-1 tests) and as the
+host-side serving runtime.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ria_tpu.phy.frame_v2 import PING_MAGIC, WaveformMode
+from ria_tpu.protocol.connection import Connection, ConnectionConfig, ConnectionState, LinkMode
+from ria_tpu.utils.bits import bytes_to_bits
+from ria_tpu.wave import mc_dpsk
+from ria_tpu.wave.api import MCDPSKWaveform, create_waveform
+
+PING_SYMBOLS = 4  # 40 raw DBPSK bits >= 32 magic bits
+
+
+@dataclass
+class StationStats:
+    frames_tx: int = 0
+    frames_rx: int = 0
+    decode_failures: int = 0
+    pings_rx: int = 0
+    sync_skips: int = 0
+
+
+class Station:
+    def __init__(self, callsign: str, config: ConnectionConfig | None = None,
+                 seed: int = 0):
+        self.callsign = callsign
+        self.conn = Connection(config)
+        self.conn.set_local_callsign(callsign)
+        self.stats = StationStats()
+
+        self.handshake_wf = MCDPSKWaveform(modulation="DBPSK", rate="R1_4")
+        self.data_wf = self.handshake_wf
+        self._pending_link: LinkMode | None = None
+
+        self.tx_queue: list[np.ndarray] = []
+        self.rx_buffer = np.zeros(0, np.float32)
+        self.max_buffer = 48000 * 20
+        self._last_failed_sync = -1
+
+        self.conn.on_transmit = self._on_conn_transmit
+        self.conn.on_ping_tx = self._tx_ping
+        self.conn.on_pong_tx = self._tx_ping  # same waveform; context decides
+        self.conn.on_mode_changed = self._on_mode_changed
+
+    # ------------------------------------------------------------------ TX
+    def _tx_ping(self):
+        cfg = self.handshake_wf.cfg
+        bits = np.zeros(PING_SYMBOLS * cfg.bits_per_mc_symbol, np.int64)
+        magic = bytes_to_bits(PING_MAGIC)
+        bits[: len(magic)] = magic
+        samples = np.concatenate([mc_dpsk.preamble(cfg), mc_dpsk.modulate(bits, cfg)])
+        self.tx_queue.append(samples.astype(np.float32))
+        self.stats.frames_tx += 1
+
+    def _on_conn_transmit(self, frame_bytes: bytes, handshake: bool):
+        if handshake or self.conn.state != ConnectionState.CONNECTED:
+            wf, light = self.handshake_wf, False
+        else:
+            wf, light = self.data_wf, True
+        self.tx_queue.append(np.asarray(wf.tx_frame(frame_bytes, light=light), np.float32))
+        self.stats.frames_tx += 1
+
+    def _on_mode_changed(self, link: LinkMode):
+        if link.waveform == WaveformMode.MC_DPSK:
+            wf = MCDPSKWaveform(modulation=link.modulation, rate=link.rate,
+                                spreading=link.spreading)
+        else:
+            wf = create_waveform(link.waveform, link.modulation, link.rate)
+        self.data_wf = wf
+
+    def pull_tx(self, max_samples: int) -> np.ndarray:
+        """Drain up to max_samples of queued TX audio (half-duplex block)."""
+        out = np.zeros(max_samples, np.float32)
+        pos = 0
+        while self.tx_queue and pos < max_samples:
+            head = self.tx_queue[0]
+            n = min(len(head), max_samples - pos)
+            out[pos : pos + n] = head[:n]
+            pos += n
+            if n == len(head):
+                self.tx_queue.pop(0)
+            else:
+                self.tx_queue[0] = head[n:]
+        return out
+
+    @property
+    def tx_pending(self) -> bool:
+        return bool(self.tx_queue)
+
+    # ------------------------------------------------------------------ RX
+    def feed_audio(self, samples: np.ndarray):
+        self.rx_buffer = np.concatenate([self.rx_buffer, np.asarray(samples, np.float32)])
+        if len(self.rx_buffer) > self.max_buffer:
+            drop = len(self.rx_buffer) - self.max_buffer
+            self.rx_buffer = self.rx_buffer[drop:]
+            self._last_failed_sync = max(-1, self._last_failed_sync - drop)
+
+    def _try_ping(self, start: int, cfo: float) -> bool:
+        """Demod raw uncoded bits after chirp; match the ULTR magic."""
+        cfg = self.handshake_wf.cfg
+        wf = self.handshake_wf
+        num_bits = PING_SYMBOLS * cfg.bits_per_mc_symbol
+        need = (cfg.training_symbols + 1 + PING_SYMBOLS * cfg.spreading) * cfg.samples_per_symbol
+        if start + need > len(self.rx_buffer):
+            return False
+        soft, _ = wf._demod_bits(self.rx_buffer, start, cfo, num_bits)
+        hard = (np.asarray(soft) < 0).astype(np.uint8)
+        magic = bytes_to_bits(PING_MAGIC)
+        match = np.mean(hard[: len(magic)] == magic)
+        return match >= 0.85
+
+    def _consume(self, upto: int):
+        self.rx_buffer = self.rx_buffer[max(0, upto):]
+        self._last_failed_sync = -1
+
+    def poll(self):
+        """Attempt decode of buffered audio; dispatch to the connection."""
+        connected = self.conn.state == ConnectionState.CONNECTED
+        wf = self.data_wf if connected else self.handshake_wf
+        light = connected
+
+        sync = wf.detect_sync(self.rx_buffer, light=light) if len(self.rx_buffer) > 4000 else None
+        if sync is None and connected:
+            # Handshake-preamble frames (e.g. DISCONNECT retry) can still arrive.
+            wf, light = self.handshake_wf, False
+            sync = wf.detect_sync(self.rx_buffer, light=False) if len(self.rx_buffer) > 4000 else None
+        if sync is None:
+            keep = 140000
+            if len(self.rx_buffer) > keep:
+                self._consume(len(self.rx_buffer) - keep)
+            return
+
+        start = sync["start"]
+
+        # PING/PONG discrimination on chirp-preamble signals.
+        if sync["kind"] == "chirp" and isinstance(wf, MCDPSKWaveform):
+            if self._try_ping(start, sync["cfo_hz"]):
+                self.stats.pings_rx += 1
+                cfg = wf.cfg
+                end = start + (cfg.training_symbols + 1 + PING_SYMBOLS * cfg.spreading) \
+                    * cfg.samples_per_symbol
+                self._consume(end)
+                if self.conn.state == ConnectionState.PROBING:
+                    self.conn.notify_pong_received()
+                else:
+                    self.conn.notify_ping_received()
+                return
+
+        # Wait until the buffer can hold at least a 1-CW frame.
+        min_needed = start + self._frame_body_samples(wf, 1)
+        if len(self.rx_buffer) < min_needed:
+            return
+
+        rx = wf.rx_frame(self.rx_buffer, light=light)
+        if rx.ok:
+            ncw = 1 if rx.header["is_control"] else max(1, rx.header["total_cw"])
+            self._consume(rx.start_sample + self._frame_body_samples(wf, ncw, rx.header["is_control"]))
+            self.stats.frames_rx += 1
+            self.conn.measured_snr_db = rx.snr_db
+            self.conn.measured_fading = rx.fading_index
+            self.conn.on_frame_received(rx.frame_bytes)
+            return
+
+        # Failed decode: if we likely have the whole frame, skip this sync.
+        max_cw = 8
+        if rx.header is not None:
+            max_cw = max(1, rx.header["total_cw"])
+        full_needed = start + self._frame_body_samples(wf, max_cw)
+        if len(self.rx_buffer) >= full_needed:
+            if self._last_failed_sync == start:
+                self.stats.decode_failures += 1
+                self.stats.sync_skips += 1
+                self._consume(start + 2000)
+            else:
+                self._last_failed_sync = start
+
+    @staticmethod
+    def _frame_body_samples(wf, ncw: int, control: bool = False) -> int:
+        """Samples from sync start (content start) to frame end."""
+        if isinstance(wf, MCDPSKWaveform):
+            cfg = wf.cfg
+            n_sym = cfg.num_data_symbols(ncw * 648)
+            return (cfg.training_symbols + 1 + n_sym * cfg.spreading) * cfg.samples_per_symbol
+        cfg = wf.ctrl_cfg if control else wf.cfg
+        S = cfg.num_symbols_for_bits((1 if control else 4) * 648)
+        return (2 + S) * cfg.symbol_samples
+
+    # ------------------------------------------------------------------ tick
+    def tick(self, elapsed_ms: int):
+        self.poll()
+        self.conn.tick(elapsed_ms)

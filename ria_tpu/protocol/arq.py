@@ -1,0 +1,282 @@
+"""ARQ controllers: stop-and-wait and selective repeat.
+
+Contract from the reference (src/protocol/arq_interface.hpp:19-56,
+arq.cpp, selective_repeat_arq.cpp):
+- shared config: ack_timeout 8 s, max_retries 10, turnaround 500 ms;
+  selective repeat: window 4, rx reorder buffer 8, sack delay 2 s;
+- stop-and-wait (MC-DPSK): one DATA frame in flight, ACK by seq, timeout
+  retransmit (chase combining benefits from full retransmissions);
+- selective repeat (OFDM): sliding TX window, per-frame ACKs + NACK with
+  codeword bitmap, RX reorder buffer with in-order delivery, delayed SACK;
+- virtual time via tick(elapsed_ms) — no wall clock, so lock-step simulation
+  is deterministic.
+
+Host-side control plane (pure Python).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Callable
+
+from ria_tpu.phy.frame_v2 import (
+    ControlFrame, DataFrame, Flags, FrameType, NackPayload, hash_callsign,
+)
+
+
+class ARQMode(enum.Enum):
+    STOP_AND_WAIT = 0
+    SELECTIVE_REPEAT = 1
+
+
+@dataclass
+class ARQConfig:
+    ack_timeout_ms: int = 8000
+    turnaround_ms: int = 500
+    max_retries: int = 10
+    window_size: int = 4
+    rx_buffer_size: int = 8
+    sack_delay_ms: int = 2000
+
+
+@dataclass
+class ARQStats:
+    frames_sent: int = 0
+    frames_received: int = 0
+    acks_sent: int = 0
+    acks_received: int = 0
+    retransmissions: int = 0
+    timeouts: int = 0
+    failed: int = 0
+    out_of_order: int = 0
+    duplicates: int = 0
+
+
+@dataclass
+class _TxSlot:
+    seq: int
+    frame_bytes: bytes
+    retries: int = 0
+    timer_ms: int = 0
+    acked: bool = False
+
+
+class _ARQBase:
+    def __init__(self, config: ARQConfig | None = None):
+        self.config = config or ARQConfig()
+        self.stats = ARQStats()
+        self.local_call = ""
+        self.remote_call = ""
+        self.remote_hash = 0
+        self.on_transmit: Callable[[bytes], None] | None = None
+        self.on_data: Callable[[bytes, int], None] | None = None
+        self.on_send_complete: Callable[[bool], None] | None = None
+        self.tx_seq = 0
+        self.last_rx_flags = 0
+
+    def set_callsigns(self, local: str, remote: str):
+        self.local_call = local
+        self.remote_call = remote
+        self.remote_hash = hash_callsign(remote)
+
+    def _tx(self, frame_bytes: bytes):
+        if self.on_transmit:
+            self.on_transmit(frame_bytes)
+
+    def _deliver(self, payload: bytes, flags: int):
+        self.last_rx_flags = flags
+        if self.on_data:
+            self.on_data(payload, flags)
+
+    def _make_data_frame(self, seq: int, payload: bytes, flags_extra: int) -> bytes:
+        f = DataFrame.make_data(self.local_call, self.remote_call, seq, payload)
+        f.flags |= flags_extra
+        return f.serialize()
+
+    def last_rx_had_more_data(self) -> bool:
+        return bool(self.last_rx_flags & Flags.MORE_FRAG)
+
+
+class StopAndWaitARQ(_ARQBase):
+    """Window-1 ARQ used for MC-DPSK (reference src/protocol/arq.cpp)."""
+
+    mode = ARQMode.STOP_AND_WAIT
+
+    def __init__(self, config: ARQConfig | None = None):
+        super().__init__(config)
+        self.in_flight: _TxSlot | None = None
+        self.rx_expected_seq = 0
+        self.last_delivered_seq = -1
+
+    # --- TX ---
+    def is_ready_to_send(self) -> bool:
+        return self.in_flight is None
+
+    def available_slots(self) -> int:
+        return 0 if self.in_flight else 1
+
+    def send_data(self, payload: bytes, flags_extra: int = 0) -> bool:
+        if self.in_flight is not None:
+            return False
+        seq = self.tx_seq
+        self.tx_seq = (self.tx_seq + 1) & 0xFFFF
+        frame = self._make_data_frame(seq, payload, flags_extra)
+        self.in_flight = _TxSlot(seq=seq, frame_bytes=frame)
+        self.stats.frames_sent += 1
+        self._tx(frame)
+        return True
+
+    # --- RX ---
+    def on_frame_received(self, frame_bytes: bytes):
+        ctrl = ControlFrame.deserialize(frame_bytes)
+        if ctrl is not None and ctrl.type == FrameType.ACK:
+            self.stats.acks_received += 1
+            if self.in_flight is not None and ctrl.seq == self.in_flight.seq:
+                self.in_flight = None
+                if self.on_send_complete:
+                    self.on_send_complete(True)
+            return
+        df = DataFrame.deserialize(frame_bytes)
+        if df is None or not (0x30 <= int(df.type) <= 0x33):
+            return
+        self.stats.frames_received += 1
+        # Always ACK (retransmitted frames need re-ACK)
+        ack = ControlFrame.make_ack(self.local_call, df.src_hash, df.seq)
+        self.stats.acks_sent += 1
+        self._tx(ack.serialize())
+        if df.seq == self.last_delivered_seq:
+            self.stats.duplicates += 1
+            return
+        self.last_delivered_seq = df.seq
+        self._deliver(df.payload, df.flags)
+
+    # --- timing ---
+    def tick(self, elapsed_ms: int):
+        slot = self.in_flight
+        if slot is None:
+            return
+        slot.timer_ms += elapsed_ms
+        if slot.timer_ms >= self.config.ack_timeout_ms:
+            slot.timer_ms = 0
+            if slot.retries >= self.config.max_retries:
+                self.stats.failed += 1
+                self.in_flight = None
+                if self.on_send_complete:
+                    self.on_send_complete(False)
+                return
+            slot.retries += 1
+            self.stats.retransmissions += 1
+            self.stats.timeouts += 1
+            self._tx(slot.frame_bytes)
+
+    def reset(self):
+        self.in_flight = None
+        self.tx_seq = 0
+        self.last_delivered_seq = -1
+
+
+class SelectiveRepeatARQ(_ARQBase):
+    """Sliding-window ARQ used for OFDM (selective_repeat_arq.cpp)."""
+
+    mode = ARQMode.SELECTIVE_REPEAT
+
+    def __init__(self, config: ARQConfig | None = None):
+        super().__init__(config)
+        self.window: dict[int, _TxSlot] = {}
+        self.rx_buffer: dict[int, tuple[bytes, int]] = {}
+        self.rx_next_seq = 0
+        self.delivered: set[int] = set()
+
+    # --- TX ---
+    def is_ready_to_send(self) -> bool:
+        return len(self.window) < self.config.window_size
+
+    def available_slots(self) -> int:
+        return self.config.window_size - len(self.window)
+
+    def send_data(self, payload: bytes, flags_extra: int = 0) -> bool:
+        if not self.is_ready_to_send():
+            return False
+        seq = self.tx_seq
+        self.tx_seq = (self.tx_seq + 1) & 0xFFFF
+        frame = self._make_data_frame(seq, payload, flags_extra)
+        self.window[seq] = _TxSlot(seq=seq, frame_bytes=frame)
+        self.stats.frames_sent += 1
+        self._tx(frame)
+        return True
+
+    # --- RX ---
+    def on_frame_received(self, frame_bytes: bytes):
+        ctrl = ControlFrame.deserialize(frame_bytes)
+        if ctrl is not None and ctrl.type == FrameType.ACK:
+            self.stats.acks_received += 1
+            slot = self.window.pop(ctrl.seq, None)
+            if slot is not None and self.on_send_complete:
+                self.on_send_complete(True)
+            return
+        if ctrl is not None and ctrl.type == FrameType.NACK:
+            nack = NackPayload.decode(ctrl.payload)
+            slot = self.window.get(nack.frame_seq)
+            if slot is not None:
+                slot.retries += 1
+                slot.timer_ms = 0
+                self.stats.retransmissions += 1
+                self._tx(slot.frame_bytes)
+            return
+        df = DataFrame.deserialize(frame_bytes)
+        if df is None or not (0x30 <= int(df.type) <= 0x33):
+            return
+        self.stats.frames_received += 1
+        ack = ControlFrame.make_ack(self.local_call, df.src_hash, df.seq)
+        self.stats.acks_sent += 1
+        self._tx(ack.serialize())
+        if df.seq in self.delivered:
+            self.stats.duplicates += 1
+            return
+        self.rx_buffer[df.seq] = (df.payload, df.flags)
+        if df.seq != self.rx_next_seq:
+            self.stats.out_of_order += 1
+        # In-order delivery from the reorder buffer.
+        while self.rx_next_seq in self.rx_buffer:
+            payload, flags = self.rx_buffer.pop(self.rx_next_seq)
+            self.delivered.add(self.rx_next_seq)
+            self._deliver(payload, flags)
+            self.rx_next_seq = (self.rx_next_seq + 1) & 0xFFFF
+        # Bound the reorder buffer.
+        while len(self.rx_buffer) > self.config.rx_buffer_size:
+            oldest = min(self.rx_buffer)
+            del self.rx_buffer[oldest]
+
+    # --- timing ---
+    def tick(self, elapsed_ms: int):
+        failed = []
+        for slot in self.window.values():
+            slot.timer_ms += elapsed_ms
+            if slot.timer_ms >= self.config.ack_timeout_ms:
+                slot.timer_ms = 0
+                if slot.retries >= self.config.max_retries:
+                    failed.append(slot.seq)
+                    continue
+                slot.retries += 1
+                self.stats.retransmissions += 1
+                self.stats.timeouts += 1
+                self._tx(slot.frame_bytes)
+        for seq in failed:
+            del self.window[seq]
+            self.stats.failed += 1
+            if self.on_send_complete:
+                self.on_send_complete(False)
+
+    def reset(self):
+        self.window.clear()
+        self.rx_buffer.clear()
+        self.delivered.clear()
+        self.tx_seq = 0
+        self.rx_next_seq = 0
+
+
+def create_arq(mode: ARQMode, config: ARQConfig | None = None) -> _ARQBase:
+    if mode == ARQMode.STOP_AND_WAIT:
+        return StopAndWaitARQ(config)
+    return SelectiveRepeatARQ(config)

@@ -1,0 +1,407 @@
+"""Connection management: PING/CONNECT handshake, mode negotiation, ARQ.
+
+State machine from the reference (src/protocol/connection.hpp:16-43,
+connection.cpp, connection_handlers.cpp):
+- DISCONNECTED -> PROBING (PING x5 fail-fast) -> CONNECTING (CONNECT with
+  capabilities/forced mode, x10 retries) -> CONNECTED -> DISCONNECTING;
+- responder measures SNR/fading from the handshake reception and answers
+  CONNECT_ACK with the negotiated waveform/modulation/rate (waveform
+  selection tables) + feature bits packed into the SNR byte;
+- per-mode ARQ: MC-DPSK -> stop-and-wait w=1; OFDM -> selective repeat w=4
+  (connection.cpp:1173);
+- CONNECTED traffic: messages (fragmented to frame capacity), MODE_CHANGE,
+  KEEPALIVE, DISCONNECT; broadcast BEACON outside connections.
+
+Transport-agnostic: frames go out through a transmit callback tagged with
+handshake/data intent; PING/PONG detections are injected by the modem layer.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Callable
+
+from ria_tpu.fec.ldpc_matrix import RATE_ENUM
+from ria_tpu.phy.frame_v2 import (
+    ConnectFrame, ControlFrame, DataFrame, Flags, FrameType, WaveformMode,
+    decode_snr, encode_snr, decode_fading_index, encode_fading_index,
+    fixed_frame_payload_capacity, hash_callsign,
+)
+from ria_tpu.protocol.arq import ARQConfig, ARQMode, create_arq
+from ria_tpu.wave.selection import (
+    cap_initial_ofdm_rate, recommend_data_mode, recommend_waveform_and_rate,
+)
+
+RATE_NAME = {v: k for k, v in RATE_ENUM.items()}
+MOD_ENUM = {"BPSK": 0, "DBPSK": 1, "QPSK": 2, "DQPSK": 3, "D8PSK": 4, "QAM8": 5,
+            "QAM16": 6, "QAM32": 7, "QAM64": 8, "QAM256": 9}
+MOD_NAME = {v: k for k, v in MOD_ENUM.items()}
+
+
+class ConnectionState(enum.Enum):
+    DISCONNECTED = 0
+    PROBING = 1
+    CONNECTING = 2
+    CONNECTED = 3
+    DISCONNECTING = 4
+
+
+@dataclass
+class LinkMode:
+    waveform: WaveformMode = WaveformMode.MC_DPSK
+    modulation: str = "DBPSK"
+    rate: str = "R1_4"
+    spreading: int = 1
+
+
+@dataclass
+class ConnectionConfig:
+    arq: ARQConfig = field(default_factory=ARQConfig)
+    ping_interval_ms: int = 3000
+    ping_retries: int = 5
+    connect_timeout_ms: int = 12000
+    connect_retries: int = 10
+    keepalive_interval_ms: int = 30000
+    auto_accept: bool = True
+    mode_capabilities: int = 0x3F | 0x40
+    preferred_mode: WaveformMode = WaveformMode.AUTO
+    forced_modulation: str | None = None
+    forced_rate: str | None = None
+
+
+@dataclass
+class ConnectionStats:
+    connects_initiated: int = 0
+    connects_received: int = 0
+    connects_failed: int = 0
+    disconnects: int = 0
+    messages_sent: int = 0
+    messages_received: int = 0
+
+
+class Connection:
+    def __init__(self, config: ConnectionConfig | None = None):
+        self.config = config or ConnectionConfig()
+        self.state = ConnectionState.DISCONNECTED
+        self.local_call = ""
+        self.remote_call = ""
+        self.remote_hash = 0
+        self.link = LinkMode()
+        self.stats = ConnectionStats()
+        self.is_initiator = False
+
+        # Channel quality measured by the modem layer on handshake RX.
+        self.measured_snr_db = 10.0
+        self.measured_fading = 0.0
+
+        # Callbacks
+        self.on_transmit: Callable[[bytes, bool], None] | None = None  # (frame, handshake?)
+        self.on_ping_tx: Callable[[], None] | None = None
+        self.on_pong_tx: Callable[[], None] | None = None
+        self.on_connected: Callable[[], None] | None = None
+        self.on_disconnected: Callable[[str], None] | None = None
+        self.on_message: Callable[[bytes], None] | None = None
+        self.on_message_sent: Callable[[bool], None] | None = None
+        self.on_mode_changed: Callable[[LinkMode], None] | None = None
+        self.on_beacon: Callable[[int, bytes], None] | None = None
+
+        self.arq = create_arq(ARQMode.STOP_AND_WAIT, self.config.arq)
+        self._wire_arq()
+
+        # Timers (virtual ms)
+        self._timer = 0
+        self._retries = 0
+        self._keepalive_timer = 0
+        self._ctrl_seq = 0
+        self._rx_fragments: list[bytes] = []
+
+    # ------------------------------------------------------------ plumbing
+    def _wire_arq(self):
+        self.arq.on_transmit = lambda fb: self._tx(fb, handshake=False)
+        self.arq.on_data = self._on_arq_data
+        self.arq.on_send_complete = lambda ok: (
+            self.on_message_sent(ok) if self.on_message_sent else None)
+
+    def _tx(self, frame_bytes: bytes, handshake: bool):
+        if self.on_transmit:
+            self.on_transmit(frame_bytes, handshake)
+
+    def _next_ctrl_seq(self) -> int:
+        self._ctrl_seq = (self._ctrl_seq + 1) & 0xFFFE  # avoid DISCONNECT_SEQ
+        return self._ctrl_seq
+
+    def set_local_callsign(self, call: str):
+        self.local_call = call
+
+    # ------------------------------------------------------------ control
+    def connect(self, remote_call: str) -> bool:
+        if self.state != ConnectionState.DISCONNECTED or not self.local_call:
+            return False
+        self.remote_call = remote_call
+        self.remote_hash = hash_callsign(remote_call)
+        self.state = ConnectionState.PROBING
+        self.is_initiator = True
+        self.stats.connects_initiated += 1
+        self._timer = 0
+        self._retries = 0
+        if self.on_ping_tx:
+            self.on_ping_tx()
+        return True
+
+    def disconnect(self):
+        if self.state != ConnectionState.CONNECTED:
+            self._enter_disconnected("local abort")
+            return
+        f = ConnectFrame(type=FrameType.DISCONNECT, src_callsign=self.local_call,
+                         dst_callsign=self.remote_call)
+        self._tx(f.serialize(), handshake=False)
+        self.stats.disconnects += 1
+        self._enter_disconnected("local disconnect")
+
+    def send_beacon(self, payload: bytes = b""):
+        f = ControlFrame.make_beacon(self.local_call)
+        f.payload = payload[:6].ljust(6, b"\x00")
+        self._tx(f.serialize(), handshake=True)
+
+    # ------------------------------------------------------------ messaging
+    def message_capacity(self) -> int:
+        if self.link.waveform == WaveformMode.MC_DPSK:
+            return 200  # variable-CW frames; keep bursts modest
+        return fixed_frame_payload_capacity(self.link.rate)
+
+    def send_message(self, data: bytes | str) -> bool:
+        if self.state != ConnectionState.CONNECTED:
+            return False
+        if isinstance(data, str):
+            data = data.encode()
+        cap = self.message_capacity()
+        chunks = [data[i : i + cap] for i in range(0, len(data), cap)] or [b""]
+        ok = True
+        for i, chunk in enumerate(chunks):
+            flags = Flags.MORE_FRAG if i < len(chunks) - 1 else Flags.FINAL
+            ok &= self.arq.send_data(chunk, flags)
+        if ok:
+            self.stats.messages_sent += 1
+        return ok
+
+    def is_ready_to_send(self) -> bool:
+        return (self.state == ConnectionState.CONNECTED and
+                self.arq.is_ready_to_send())
+
+    def _on_arq_data(self, payload: bytes, flags: int):
+        if flags & Flags.MORE_FRAG:
+            self._rx_fragments.append(payload)
+            return
+        data = b"".join(self._rx_fragments) + payload
+        self._rx_fragments = []
+        self.stats.messages_received += 1
+        if self.on_message:
+            self.on_message(data)
+
+    # ------------------------------------------------------------ handshake
+    def notify_ping_received(self):
+        """Modem detected a PING addressed to the channel (responder side)."""
+        if self.state == ConnectionState.DISCONNECTED and self.config.auto_accept:
+            if self.on_pong_tx:
+                self.on_pong_tx()
+
+    def notify_pong_received(self):
+        """Initiator: remote is alive; send the full CONNECT."""
+        if self.state == ConnectionState.PROBING:
+            self.state = ConnectionState.CONNECTING
+            self._timer = 0
+            self._retries = 0
+            self._send_connect()
+
+    def _send_connect(self):
+        forced_wf = int(self.config.preferred_mode)
+        f = ConnectFrame(
+            type=FrameType.CONNECT, seq=self._next_ctrl_seq(),
+            src_callsign=self.local_call, dst_callsign=self.remote_call,
+            mode_capabilities=self.config.mode_capabilities,
+            negotiated_mode=forced_wf,
+            initial_modulation=MOD_ENUM.get(self.config.forced_modulation, 0xFF)
+            if self.config.forced_modulation else 0xFF,
+            initial_code_rate=RATE_ENUM.get(self.config.forced_rate, 0xFF)
+            if self.config.forced_rate else 0xFF)
+        self._tx(f.serialize(), handshake=True)
+
+    def _negotiate(self, req: ConnectFrame) -> LinkMode:
+        snr, fading = self.measured_snr_db, self.measured_fading
+        if req.negotiated_mode != 0xFF:
+            wf = WaveformMode(req.negotiated_mode)
+            mod, rate, spread = recommend_data_mode(snr, wf, fading)
+        else:
+            rec = recommend_waveform_and_rate(snr, fading)
+            wf, mod, rate, spread = rec.waveform, rec.modulation, rec.rate, rec.spreading
+            if wf in (WaveformMode.OFDM_CHIRP, WaveformMode.OFDM_COX):
+                rate = cap_initial_ofdm_rate(snr, fading, rate)
+        if req.initial_modulation != 0xFF:
+            mod = MOD_NAME.get(req.initial_modulation, mod)
+        if req.initial_code_rate != 0xFF:
+            rate = RATE_NAME.get(req.initial_code_rate, rate)
+        return LinkMode(waveform=wf, modulation=mod, rate=rate, spreading=spread)
+
+    def _enter_connected(self, link: LinkMode):
+        self.link = link
+        self.state = ConnectionState.CONNECTED
+        self._keepalive_timer = 0
+        mode = (ARQMode.STOP_AND_WAIT if link.waveform == WaveformMode.MC_DPSK
+                else ARQMode.SELECTIVE_REPEAT)
+        self.arq = create_arq(mode, self.config.arq)
+        self.arq.set_callsigns(self.local_call, self.remote_call)
+        self._wire_arq()
+        if self.on_mode_changed:
+            self.on_mode_changed(link)
+        if self.on_connected:
+            self.on_connected()
+
+    def _enter_disconnected(self, reason: str):
+        prev = self.state
+        self.state = ConnectionState.DISCONNECTED
+        self.remote_call = ""
+        self.remote_hash = 0
+        self._rx_fragments = []
+        self.arq.reset()
+        if prev != ConnectionState.DISCONNECTED and self.on_disconnected:
+            self.on_disconnected(reason)
+
+    # ------------------------------------------------------------ RX dispatch
+    def on_frame_received(self, frame_bytes: bytes):
+        ctrl = ControlFrame.deserialize(frame_bytes) if len(frame_bytes) >= 20 else None
+        conn = ConnectFrame.deserialize(frame_bytes)
+        df = DataFrame.deserialize(frame_bytes)
+
+        if conn is not None and conn.type == FrameType.CONNECT:
+            self._handle_connect(conn)
+            return
+        if conn is not None and conn.type == FrameType.CONNECT_ACK:
+            self._handle_connect_ack(conn)
+            return
+        if conn is not None and conn.type == FrameType.CONNECT_NAK:
+            if self.state == ConnectionState.CONNECTING:
+                self.stats.connects_failed += 1
+                self._enter_disconnected("rejected")
+            return
+        if conn is not None and conn.type == FrameType.DISCONNECT:
+            self._tx(ControlFrame.make_ack(self.local_call, hash_callsign(conn.src_callsign),
+                                           0xFFFF).serialize(), handshake=False)
+            self._enter_disconnected("remote disconnect")
+            return
+        if ctrl is not None:
+            if ctrl.type == FrameType.BEACON:
+                if self.on_beacon:
+                    self.on_beacon(ctrl.src_hash, ctrl.payload)
+                return
+            if ctrl.type == FrameType.MODE_CHANGE:
+                self._handle_mode_change(ctrl)
+                return
+            if ctrl.type == FrameType.KEEPALIVE:
+                return
+            if ctrl.type in (FrameType.ACK, FrameType.NACK):
+                if ctrl.seq == 0xFFFF:
+                    return  # disconnect ack
+                self.arq.on_frame_received(frame_bytes)
+                return
+        if df is not None and 0x30 <= int(df.type) <= 0x33:
+            self.arq.on_frame_received(frame_bytes)
+
+    def _handle_connect(self, req: ConnectFrame):
+        if self.state not in (ConnectionState.DISCONNECTED, ConnectionState.PROBING):
+            return
+        if not self.config.auto_accept:
+            f = ConnectFrame(type=FrameType.CONNECT_NAK, src_callsign=self.local_call,
+                             dst_callsign=req.src_callsign)
+            self._tx(f.serialize(), handshake=True)
+            return
+        self.remote_call = req.src_callsign
+        self.remote_hash = hash_callsign(req.src_callsign)
+        self.is_initiator = False
+        self.stats.connects_received += 1
+        link = self._negotiate(req)
+        ack = ConnectFrame(
+            type=FrameType.CONNECT_ACK, seq=self._next_ctrl_seq(),
+            src_callsign=self.local_call, dst_callsign=self.remote_call,
+            mode_capabilities=encode_fading_index(self.measured_fading),
+            negotiated_mode=int(link.waveform),
+            initial_modulation=MOD_ENUM[link.modulation],
+            initial_code_rate=RATE_ENUM[link.rate],
+            measured_snr=encode_snr(self.measured_snr_db) & ~0x03)
+        self._tx(ack.serialize(), handshake=True)
+        self._enter_connected(link)
+
+    def _handle_connect_ack(self, ack: ConnectFrame):
+        if self.state != ConnectionState.CONNECTING:
+            return
+        link = LinkMode(
+            waveform=WaveformMode(ack.negotiated_mode)
+            if ack.negotiated_mode != 0xFF else WaveformMode.MC_DPSK,
+            modulation=MOD_NAME.get(ack.initial_modulation, "DBPSK"),
+            rate=RATE_NAME.get(ack.initial_code_rate, "R1_4"))
+        if link.waveform == WaveformMode.MC_DPSK:
+            _, _, link.spreading = recommend_data_mode(
+                decode_snr(ack.measured_snr & ~0x03), link.waveform)
+        self._enter_connected(link)
+
+    def _handle_mode_change(self, ctrl: ControlFrame):
+        if self.state != ConnectionState.CONNECTED:
+            return
+        p = ctrl.payload
+        link = LinkMode(waveform=self.link.waveform,
+                        modulation=MOD_NAME.get(p[0], self.link.modulation),
+                        rate=RATE_NAME.get(p[1], self.link.rate),
+                        spreading=self.link.spreading)
+        if p[5] & 0x80:
+            link.waveform = WaveformMode(p[5] & 0x7F)
+        self.link = link
+        ack = ControlFrame.make_ack(self.local_call, self.remote_hash, ctrl.seq)
+        self._tx(ack.serialize(), handshake=False)
+        if self.on_mode_changed:
+            self.on_mode_changed(link)
+
+    def request_mode_change(self, modulation: str, rate: str, reason: int = 2,
+                            waveform: WaveformMode | None = None) -> bool:
+        if self.state != ConnectionState.CONNECTED:
+            return False
+        f = ControlFrame.make_mode_change(
+            self.local_call, self.remote_hash, self._next_ctrl_seq(),
+            MOD_ENUM[modulation], rate, self.measured_snr_db,
+            self.measured_fading, reason, waveform)
+        self._tx(f.serialize(), handshake=False)
+        self.link = LinkMode(waveform=waveform or self.link.waveform,
+                             modulation=modulation, rate=rate,
+                             spreading=self.link.spreading)
+        if self.on_mode_changed:
+            self.on_mode_changed(self.link)
+        return True
+
+    # ------------------------------------------------------------ timing
+    def tick(self, elapsed_ms: int):
+        if self.state == ConnectionState.PROBING:
+            self._timer += elapsed_ms
+            if self._timer >= self.config.ping_interval_ms:
+                self._timer = 0
+                self._retries += 1
+                if self._retries >= self.config.ping_retries:
+                    self.stats.connects_failed += 1
+                    self._enter_disconnected("no answer to ping")
+                elif self.on_ping_tx:
+                    self.on_ping_tx()
+        elif self.state == ConnectionState.CONNECTING:
+            self._timer += elapsed_ms
+            if self._timer >= self.config.connect_timeout_ms:
+                self._timer = 0
+                self._retries += 1
+                if self._retries >= self.config.connect_retries:
+                    self.stats.connects_failed += 1
+                    self._enter_disconnected("connect timeout")
+                else:
+                    self._send_connect()
+        elif self.state == ConnectionState.CONNECTED:
+            self.arq.tick(elapsed_ms)
+            self._keepalive_timer += elapsed_ms
+            if self._keepalive_timer >= self.config.keepalive_interval_ms:
+                self._keepalive_timer = 0
+                f = ControlFrame.make_keepalive(self.local_call, self.remote_call)
+                self._tx(f.serialize(), handshake=False)

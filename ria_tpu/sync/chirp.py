@@ -132,6 +132,12 @@ def detect_dual_chirp(samples: jnp.ndarray, cfg: ChirpConfig, num_samples: int |
     del num_samples
     n = samples.shape[-1]
     chirp_len = cfg.chirp_samples
+    if n < cfg.total_samples + 64:
+        # Window cannot hold the dual-chirp sequence (static shape check).
+        shape = samples.shape[:-1]
+        f = jnp.zeros(shape, jnp.float32)
+        return ChirpSyncResult(jnp.zeros(shape, bool), jnp.full(shape, -1, jnp.int32),
+                               f, f, f)
     nfft = _next_pow2(n + chirp_len)
     up_t, down_t, energy = _templates(cfg)
     up_fft = jnp.conj(jnp.fft.fft(jnp.asarray(up_t), nfft))

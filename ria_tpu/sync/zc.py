@@ -139,6 +139,13 @@ def detect(samples: jnp.ndarray, cfg: ZCConfig, root_mask: int = ROOT_MASK_ALL,
     """Detect a ZC preamble in a window [..., N]; batched over leading axes."""
     n = samples.shape[-1]
     rep = cfg.single_rep_samples
+    if n < cfg.preamble_samples + 64:
+        shape = samples.shape[:-1]
+        f = jnp.zeros(shape, jnp.float32)
+        return ZCSyncResult(jnp.zeros(shape, bool),
+                            jnp.full(shape, ZC_UNKNOWN, jnp.int32),
+                            jnp.full(shape, -1, jnp.int32), f, f, f,
+                            jnp.full(shape, -1, jnp.int32))
     nfft = _next_pow2(n + rep)
     num_lags = n - rep + 1
 

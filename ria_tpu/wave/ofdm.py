@@ -339,6 +339,11 @@ def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
     N = cfg.fft_size
     half = N // 2
     sym = cfg.symbol_samples
+    if n < cfg.preamble_samples + 64:
+        shape = samples.shape[:-1]
+        f = jnp.zeros(shape, jnp.float32)
+        return SCSyncResult(jnp.zeros(shape, bool), jnp.full(shape, -1, jnp.int32),
+                            f, f, f)
 
     z = analytic_signal(samples)
     zc = jnp.conj(z[..., :-half]) * z[..., half:]
@@ -439,6 +444,10 @@ def lts_search(samples: jnp.ndarray, cfg: OFDMConfig, threshold: float = 0.2) ->
     sym = cfg.symbol_samples
     lts = _lts_symbol(cfg)
     L = len(lts)
+    if n < 2 * L + 64:
+        shape = samples.shape[:-1]
+        return LTSSyncResult(jnp.zeros(shape, bool), jnp.full(shape, -1, jnp.int32),
+                             jnp.zeros(shape, jnp.float32))
     lts_analytic = np.asarray(
         np.exp(2j * np.pi * cfg.center_freq * np.arange(L) / cfg.sample_rate) * lts
         * cfg.output_scale, np.complex64)

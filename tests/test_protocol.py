@@ -1,0 +1,145 @@
+"""Protocol layer tests: ARQ units + full dual-station sessions (tier-1,
+mirrors reference tools/cli_simulator.cpp scenarios)."""
+
+import numpy as np
+import pytest
+
+from ria_tpu.protocol.arq import ARQConfig, ARQMode, StopAndWaitARQ, SelectiveRepeatARQ
+from ria_tpu.protocol.connection import ConnectionState
+from ria_tpu.protocol.crypto import AES256, compress, decompress
+from ria_tpu.sim.simulator import DualStationSim
+from ria_tpu.sim import awgn, good
+
+
+# ---------------------------------------------------------------- ARQ units
+
+def _wire_pair(a, b):
+    a.set_callsigns("W1AW", "VE3ABC")
+    b.set_callsigns("VE3ABC", "W1AW")
+    a.on_transmit = lambda fb: b.on_frame_received(fb)
+    b.on_transmit = lambda fb: a.on_frame_received(fb)
+
+
+def test_stop_and_wait_basic():
+    a, b = StopAndWaitARQ(), StopAndWaitARQ()
+    _wire_pair(a, b)
+    got = []
+    b.on_data = lambda p, f: got.append(p)
+    assert a.send_data(b"hello")
+    assert got == [b"hello"]
+    assert a.is_ready_to_send()  # ACK came back synchronously
+    assert a.stats.acks_received == 1
+
+
+def test_stop_and_wait_retransmit_on_loss():
+    a, b = StopAndWaitARQ(ARQConfig(ack_timeout_ms=1000, max_retries=3)), StopAndWaitARQ()
+    a.set_callsigns("W1AW", "VE3ABC")
+    b.set_callsigns("VE3ABC", "W1AW")
+    drop_next = [True]
+    def lossy(fb):
+        if drop_next[0]:
+            drop_next[0] = False
+            return
+        b.on_frame_received(fb)
+    a.on_transmit = lossy
+    b.on_transmit = lambda fb: a.on_frame_received(fb)
+    got = []
+    b.on_data = lambda p, f: got.append(p)
+    a.send_data(b"retry me")
+    assert got == []
+    a.tick(1000)  # timeout -> retransmit (this one goes through)
+    assert got == [b"retry me"]
+    assert a.stats.retransmissions == 1
+
+
+def test_selective_repeat_window_and_order():
+    a, b = SelectiveRepeatARQ(), SelectiveRepeatARQ()
+    _wire_pair(a, b)
+    got = []
+    b.on_data = lambda p, f: got.append(p)
+    for i in range(4):
+        assert a.send_data(f"msg{i}".encode())
+    assert got == [b"msg0", b"msg1", b"msg2", b"msg3"]
+    assert a.available_slots() == 4
+
+
+def test_selective_repeat_reorder_delivery():
+    b = SelectiveRepeatARQ()
+    b.set_callsigns("VE3ABC", "W1AW")
+    sent_acks = []
+    b.on_transmit = lambda fb: sent_acks.append(fb)
+    got = []
+    b.on_data = lambda p, f: got.append(p)
+    from ria_tpu.phy.frame_v2 import DataFrame
+    f0 = DataFrame.make_data("W1AW", "VE3ABC", 0, b"first").serialize()
+    f1 = DataFrame.make_data("W1AW", "VE3ABC", 1, b"second").serialize()
+    b.on_frame_received(f1)  # out of order
+    assert got == []
+    b.on_frame_received(f0)
+    assert got == [b"first", b"second"]
+    assert b.stats.out_of_order == 1
+
+
+# ---------------------------------------------------------------- crypto
+
+def test_aes256_roundtrip():
+    key = AES256.from_passphrase("secret pass")
+    ct = key.encrypt(b"attack at dawn")
+    assert ct[16:] != b"attack at dawn"
+    assert key.decrypt(ct) == b"attack at dawn"
+    # wire = IV || ciphertext; multiple of block after IV
+    assert len(ct) % 16 == 0
+
+
+def test_compression_gate():
+    small, was = compress(b"short")
+    assert not was and small == b"short"
+    big = b"abcd" * 100
+    packed, was = compress(big)
+    assert was and len(packed) < len(big)
+    assert decompress(packed) == big
+
+
+# ---------------------------------------------------------------- sessions
+
+def test_full_session_awgn():
+    """PING -> CONNECT -> DATA x2 -> DISCONNECT over 12 dB AWGN."""
+    sim = DualStationSim(awgn(12.0), seed=7)
+    got_b, got_a = [], []
+    sim.bravo.conn.on_message = lambda d: got_b.append(d)
+    sim.alpha.conn.on_message = lambda d: got_a.append(d)
+
+    assert sim.alpha.conn.connect("BRAVO")
+    assert sim.run_until(sim.both_connected, max_ticks=200), \
+        f"no connect: A={sim.alpha.conn.state} B={sim.bravo.conn.state}"
+
+    link = sim.alpha.conn.link
+    assert link.waveform is not None
+
+    sim.alpha.conn.send_message(b"hello from alpha")
+    assert sim.run_until(lambda: got_b == [b"hello from alpha"], max_ticks=150), \
+        f"msg not delivered (B got {got_b})"
+
+    sim.bravo.conn.send_message(b"hello back")
+    assert sim.run_until(lambda: got_a == [b"hello back"], max_ticks=150)
+
+    sim.alpha.conn.disconnect()
+    assert sim.run_until(
+        lambda: sim.bravo.conn.state == ConnectionState.DISCONNECTED, max_ticks=100)
+
+
+def test_session_negotiates_ofdm_at_high_snr():
+    """At 20+ dB AWGN the responder should negotiate an OFDM waveform."""
+    from ria_tpu.phy.frame_v2 import WaveformMode
+
+    sim = DualStationSim(awgn(22.0), seed=11)
+    assert sim.alpha.conn.connect("BRAVO")
+    assert sim.run_until(sim.both_connected, max_ticks=200)
+    wf = sim.alpha.conn.link.waveform
+    assert wf in (WaveformMode.OFDM_CHIRP, WaveformMode.OFDM_COX), wf
+    got = []
+    sim.bravo.conn.on_message = lambda d: got.append(d)
+    payload = bytes(range(50))
+    sim.alpha.conn.send_message(payload)
+    assert sim.run_until(lambda: got == [payload], max_ticks=150), \
+        f"OFDM msg not delivered ({sim.alpha.conn.link})"
