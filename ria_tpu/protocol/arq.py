@@ -141,15 +141,17 @@ class StopAndWaitARQ(_ARQBase):
         if df is None or not (0x30 <= int(df.type) <= 0x33):
             return
         self.stats.frames_received += 1
+        # Deliver BEFORE acking: the ACK can synchronously trigger the
+        # sender's next frame, which must not overtake this payload.
+        if df.seq == self.last_delivered_seq:
+            self.stats.duplicates += 1
+        else:
+            self.last_delivered_seq = df.seq
+            self._deliver(df.payload, df.flags)
         # Always ACK (retransmitted frames need re-ACK)
         ack = ControlFrame.make_ack(self.local_call, df.src_hash, df.seq)
         self.stats.acks_sent += 1
         self._tx(ack.serialize())
-        if df.seq == self.last_delivered_seq:
-            self.stats.duplicates += 1
-            return
-        self.last_delivered_seq = df.seq
-        self._deliver(df.payload, df.flags)
 
     # --- timing ---
     def tick(self, elapsed_ms: int):
@@ -228,25 +230,25 @@ class SelectiveRepeatARQ(_ARQBase):
         if df is None or not (0x30 <= int(df.type) <= 0x33):
             return
         self.stats.frames_received += 1
+        if df.seq in self.delivered:
+            self.stats.duplicates += 1
+        else:
+            self.rx_buffer[df.seq] = (df.payload, df.flags)
+            if df.seq != self.rx_next_seq:
+                self.stats.out_of_order += 1
+            # In-order delivery from the reorder buffer (before acking, so a
+            # synchronously-triggered next frame cannot overtake delivery).
+            while self.rx_next_seq in self.rx_buffer:
+                payload, flags = self.rx_buffer.pop(self.rx_next_seq)
+                self.delivered.add(self.rx_next_seq)
+                self._deliver(payload, flags)
+                self.rx_next_seq = (self.rx_next_seq + 1) & 0xFFFF
+            while len(self.rx_buffer) > self.config.rx_buffer_size:
+                oldest = min(self.rx_buffer)
+                del self.rx_buffer[oldest]
         ack = ControlFrame.make_ack(self.local_call, df.src_hash, df.seq)
         self.stats.acks_sent += 1
         self._tx(ack.serialize())
-        if df.seq in self.delivered:
-            self.stats.duplicates += 1
-            return
-        self.rx_buffer[df.seq] = (df.payload, df.flags)
-        if df.seq != self.rx_next_seq:
-            self.stats.out_of_order += 1
-        # In-order delivery from the reorder buffer.
-        while self.rx_next_seq in self.rx_buffer:
-            payload, flags = self.rx_buffer.pop(self.rx_next_seq)
-            self.delivered.add(self.rx_next_seq)
-            self._deliver(payload, flags)
-            self.rx_next_seq = (self.rx_next_seq + 1) & 0xFFFF
-        # Bound the reorder buffer.
-        while len(self.rx_buffer) > self.config.rx_buffer_size:
-            oldest = min(self.rx_buffer)
-            del self.rx_buffer[oldest]
 
     # --- timing ---
     def tick(self, elapsed_ms: int):

@@ -143,3 +143,54 @@ def test_session_negotiates_ofdm_at_high_snr():
     sim.alpha.conn.send_message(payload)
     assert sim.run_until(lambda: got == [payload], max_ticks=150), \
         f"OFDM msg not delivered ({sim.alpha.conn.link})"
+
+
+# ---------------------------------------------------------------- engine
+
+def test_engine_message_compression_encryption():
+    from ria_tpu.protocol.engine import ProtocolEngine
+    from ria_tpu.protocol.connection import ConnectionState, LinkMode
+
+    a, b = ProtocolEngine(), ProtocolEngine()
+    a.set_callsign("W1AW"); b.set_callsign("VE3ABC")
+    a.set_encryption_key("hunter2"); b.set_encryption_key("hunter2")
+    # wire the two connections directly (bypass modem)
+    a.conn.on_transmit = lambda fb, hs: b.conn.on_frame_received(fb)
+    b.conn.on_transmit = lambda fb, hs: a.conn.on_frame_received(fb)
+    # force connected state with matching link
+    for eng, remote in ((a, "VE3ABC"), (b, "W1AW")):
+        eng.conn.remote_call = remote
+        from ria_tpu.phy.frame_v2 import hash_callsign
+        eng.conn.remote_hash = hash_callsign(remote)
+        eng.conn._enter_connected(LinkMode())
+    got = []
+    b.on_message = lambda d: got.append(d)
+    msg = b"compressible " * 20
+    assert a.send_message(msg)
+    assert got == [msg]
+
+
+def test_engine_file_transfer():
+    from ria_tpu.protocol.engine import ProtocolEngine
+    from ria_tpu.protocol.connection import LinkMode
+    from ria_tpu.phy.frame_v2 import hash_callsign
+
+    a, b = ProtocolEngine(), ProtocolEngine()
+    a.set_callsign("W1AW"); b.set_callsign("VE3ABC")
+    a.conn.on_transmit = lambda fb, hs: b.conn.on_frame_received(fb)
+    b.conn.on_transmit = lambda fb, hs: a.conn.on_frame_received(fb)
+    for eng, remote in ((a, "VE3ABC"), (b, "W1AW")):
+        eng.conn.remote_call = remote
+        eng.conn.remote_hash = hash_callsign(remote)
+        eng.conn._enter_connected(LinkMode())
+    received = []
+    b.on_file_received = lambda name, data, ok: received.append((name, data, ok))
+    payload = bytes(range(256)) * 8  # 2 KB
+    assert a.send_file("test.bin", payload)
+    for _ in range(100):
+        a.tick(100); b.tick(100)
+        if received:
+            break
+    assert received, "file not delivered"
+    name, data, ok = received[0]
+    assert name == "test.bin" and ok and data == payload
