@@ -1,0 +1,178 @@
+"""Adaptive MFSK waveform for very low SNR (-17..+3 dB).
+
+Numeric contract from the reference (src/fsk/mfsk.hpp):
+- 2/4/8/16/32 tones at 50 Hz spacing centered on 1500 Hz, 1536 samples/symbol
+  (31.25 baud), symbol repetition (default 2), continuous TX phase;
+- tone_freq(i) = center + (i - (T-1)/2) * spacing;
+- bits map MSB-first to the tone index; preamble = `cycles` sweeps through
+  all tones in order;
+- demod: per-tone power (Goertzel in the reference), repetition combining,
+  max-power decisions.
+
+TPU redesign: per-tone power for every symbol is one |[S, sps] @ [sps, T]|^2
+matmul; preamble search scores the known sweep at every offset with a
+batched strided-window matmul; soft bits via max-log over tone powers.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class MFSKConfig:
+    sample_rate: float = 48000.0
+    center_freq: float = 1500.0
+    tone_spacing: float = 50.0
+    num_tones: int = 8
+    samples_per_symbol: int = 1536
+    repetition: int = 2
+    preamble_cycles: int = 2
+
+    @property
+    def bits_per_symbol(self) -> int:
+        return int(np.log2(self.num_tones))
+
+    def tone_freq(self, idx: int) -> float:
+        return self.center_freq + (idx - (self.num_tones - 1) / 2.0) * self.tone_spacing
+
+    @property
+    def preamble_samples(self) -> int:
+        return self.preamble_cycles * self.num_tones * self.samples_per_symbol
+
+    def num_symbols_for_bits(self, num_bits: int) -> int:
+        return -(-num_bits // self.bits_per_symbol)
+
+    def frame_samples(self, num_bits: int) -> int:
+        return (self.preamble_samples +
+                self.num_symbols_for_bits(num_bits) * self.repetition * self.samples_per_symbol)
+
+
+@functools.lru_cache(maxsize=None)
+def _tone_bank(cfg: MFSKConfig) -> np.ndarray:
+    """[sps, T] complex mixers for per-tone correlation."""
+    t = np.arange(cfg.samples_per_symbol, dtype=np.float64)[:, None]
+    f = np.array([cfg.tone_freq(i) for i in range(cfg.num_tones)])[None, :]
+    return np.exp(-2j * np.pi * f * t / cfg.sample_rate).astype(np.complex64)
+
+
+def modulate(bits: np.ndarray, cfg: MFSKConfig) -> np.ndarray:
+    """Data bits -> samples with repetition (continuous phase, host TX)."""
+    bits = np.asarray(bits, np.int64)
+    bps = cfg.bits_per_symbol
+    S = -(-len(bits) // bps)
+    padded = np.zeros(S * bps, np.int64)
+    padded[: len(bits)] = bits
+    grouped = padded.reshape(S, bps)
+    tone = np.zeros(S, np.int64)
+    for b in range(bps):
+        tone = (tone << 1) | grouped[:, b]
+    tone = np.repeat(tone, cfg.repetition)
+    freqs = np.array([cfg.tone_freq(i) for i in range(cfg.num_tones)])[tone]
+    inc = 2.0 * np.pi * np.repeat(freqs, cfg.samples_per_symbol) / cfg.sample_rate
+    phase = np.cumsum(inc)
+    return np.sin(phase).astype(np.float32)
+
+
+def generate_preamble(cfg: MFSKConfig) -> np.ndarray:
+    """Tone sweep: cycles x all tones in order, continuous phase."""
+    sweep = np.tile(np.arange(cfg.num_tones), cfg.preamble_cycles)
+    freqs = np.array([cfg.tone_freq(i) for i in range(cfg.num_tones)])[sweep]
+    inc = 2.0 * np.pi * np.repeat(freqs, cfg.samples_per_symbol) / cfg.sample_rate
+    phase = np.cumsum(inc)
+    return np.sin(phase).astype(np.float32)
+
+
+def tx_frame(bits: np.ndarray, cfg: MFSKConfig) -> np.ndarray:
+    return np.concatenate([generate_preamble(cfg), modulate(bits, cfg)])
+
+
+class MFSKSyncResult(NamedTuple):
+    detected: jnp.ndarray
+    data_start: jnp.ndarray  # first sample after the preamble
+    score: jnp.ndarray
+
+
+def _tone_powers(frames: jnp.ndarray, cfg: MFSKConfig) -> jnp.ndarray:
+    """[..., S, sps] -> [..., S, T] tone powers."""
+    bank = _tone_bank(cfg)
+    z = frames.astype(jnp.complex64) @ bank
+    return jnp.square(jnp.abs(z))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def find_preamble(samples: jnp.ndarray, cfg: MFSKConfig) -> MFSKSyncResult:
+    """Score the known tone sweep at strided offsets; argmax."""
+    sps = cfg.samples_per_symbol
+    P = cfg.preamble_cycles * cfg.num_tones
+    need = cfg.preamble_samples
+    n = samples.shape[-1]
+    step = sps // 4
+    num_off = max((n - need) // step, 1)
+    if n < need + step:
+        shape = samples.shape[:-1]
+        return MFSKSyncResult(jnp.zeros(shape, bool), jnp.full(shape, -1, jnp.int32),
+                              jnp.zeros(shape, jnp.float32))
+
+    offs = jnp.arange(num_off) * step
+
+    def score_at(off):
+        frames = jax.lax.dynamic_slice_in_dim(samples, off, need, axis=-1)
+        frames = frames.reshape(frames.shape[:-1] + (P, sps))
+        powers = _tone_powers(frames, cfg)  # [..., P, T]
+        sweep = np.tile(np.arange(cfg.num_tones), cfg.preamble_cycles)
+        expect = powers[..., jnp.arange(P), sweep]
+        total = jnp.sum(powers, axis=(-1, -2)) + 1e-9
+        return jnp.sum(expect, axis=-1) / total
+
+    scores = jax.vmap(score_at)(offs)  # [num_off, ...]
+    scores = jnp.moveaxis(scores, 0, -1)
+    best = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    val = jnp.take_along_axis(scores, best[..., None], -1)[..., 0]
+    detected = val > 0.5  # sweep energy dominance
+    start = best * step + need
+    return MFSKSyncResult(detected, jnp.where(detected, start, -1), val)
+
+
+class MFSKDemodResult(NamedTuple):
+    soft_bits: jnp.ndarray
+    tone_powers: jnp.ndarray
+    snr_estimate_db: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_bits"))
+def demodulate(data_samples: jnp.ndarray, cfg: MFSKConfig, num_bits: int) -> MFSKDemodResult:
+    """Demod `num_bits` of data starting at the first data symbol."""
+    bps = cfg.bits_per_symbol
+    S = cfg.num_symbols_for_bits(num_bits)
+    R = cfg.repetition
+    need = S * R * cfg.samples_per_symbol
+    x = data_samples[..., :need]
+    frames = x.reshape(x.shape[:-1] + (S * R, cfg.samples_per_symbol))
+    powers = _tone_powers(frames, cfg)
+    powers = powers.reshape(powers.shape[:-2] + (S, R, cfg.num_tones)).sum(-2)
+
+    # Max-log LLRs per bit from tone powers (normalized by noise estimate =
+    # mean of the non-max tones).
+    sorted_p = jnp.sort(powers, axis=-1)
+    noise = jnp.mean(sorted_p[..., :-1], axis=-1, keepdims=True) + 1e-9
+    metric = powers / noise
+    tones = np.arange(cfg.num_tones)
+    llrs = []
+    for b in range(bps):
+        bit_mask = ((tones >> (bps - 1 - b)) & 1).astype(bool)
+        m1 = jnp.max(jnp.where(bit_mask, metric, -jnp.inf), axis=-1)
+        m0 = jnp.max(jnp.where(~bit_mask, metric, -jnp.inf), axis=-1)
+        llrs.append(jnp.clip(m0 - m1, -20.0, 20.0))  # positive => bit 0
+    soft = jnp.stack(llrs, axis=-1)
+    soft = soft.reshape(soft.shape[:-2] + (S * bps,))[..., :num_bits]
+
+    peak = sorted_p[..., -1]
+    snr = 10.0 * jnp.log10(jnp.maximum(peak / (noise[..., 0] * cfg.num_tones), 1e-3))
+    return MFSKDemodResult(soft, powers, jnp.mean(snr, axis=-1))
