@@ -58,6 +58,10 @@ class Station:
         self.max_buffer = 48000 * 20
         self._last_failed_sync = -1
 
+        from ria_tpu.fec.chase import ChaseCache
+
+        self.chase = ChaseCache()
+
         self.conn.on_transmit = self._on_conn_transmit
         self.conn.on_ping_tx = self._tx_ping
         self.conn.on_pong_tx = self._tx_ping  # same waveform; context decides
@@ -172,7 +176,7 @@ class Station:
         if len(self.rx_buffer) < min_needed:
             return
 
-        rx = wf.rx_frame(self.rx_buffer, light=light)
+        rx = wf.rx_frame(self.rx_buffer, light=light, chase=self.chase)
         if rx.ok:
             ncw = 1 if rx.header["is_control"] else max(1, rx.header["total_cw"])
             self._consume(rx.start_sample + self._frame_body_samples(wf, ncw, rx.header["is_control"]))
@@ -191,7 +195,22 @@ class Station:
             if self._last_failed_sync == start:
                 self.stats.decode_failures += 1
                 self.stats.sync_skips += 1
-                self._consume(start + 2000)
+                # Partial data frame with a decoded header: request a
+                # retransmit with the per-CW failure bitmap (NACK), which
+                # feeds chase combining on the next reception.
+                if (connected and rx.header is not None
+                        and not rx.header["is_control"] and rx.cw_ok is not None):
+                    from ria_tpu.phy.frame_v2 import ControlFrame
+
+                    bitmap = 0
+                    for i, okcw in enumerate(np.asarray(rx.cw_ok)):
+                        if not okcw and i < 32:
+                            bitmap |= 1 << i
+                    nack = ControlFrame.make_nack(self.callsign, rx.header["src_hash"],
+                                                  rx.header["seq"], bitmap)
+                    self._on_conn_transmit(nack.serialize(), handshake=False)
+                self._consume(start + self._frame_body_samples(wf, max_cw,
+                                                               bool(rx.header and rx.header["is_control"])))
             else:
                 self._last_failed_sync = start
 

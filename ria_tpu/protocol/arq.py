@@ -137,6 +137,17 @@ class StopAndWaitARQ(_ARQBase):
                 if self.on_send_complete:
                     self.on_send_complete(True)
             return
+        if ctrl is not None and ctrl.type == FrameType.NACK:
+            # Per-CW NACK: retransmit the in-flight frame immediately so the
+            # receiver can chase-combine (reference StopAndWaitARQ + chase).
+            nack = NackPayload.decode(ctrl.payload)
+            if (self.in_flight is not None and nack.frame_seq == self.in_flight.seq
+                    and self.in_flight.retries < self.config.max_retries):
+                self.in_flight.retries += 1
+                self.in_flight.timer_ms = 0
+                self.stats.retransmissions += 1
+                self._tx(self.in_flight.frame_bytes)
+            return
         df = DataFrame.deserialize(frame_bytes)
         if df is None or not (0x30 <= int(df.type) <= 0x33):
             return

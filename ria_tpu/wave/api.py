@@ -42,6 +42,39 @@ def _is_control_bytes(frame_bytes: bytes) -> bool:
         0x10 <= frame_bytes[2] <= 0x21 or frame_bytes[2] == 0x40)
 
 
+def _chase_combine(chase, header, cw_soft: np.ndarray, oks: np.ndarray,
+                   chunks: list, rate: str, ci_bits: int | None):
+    """Store failed-CW LLRs, retry decode on the accumulated sums."""
+    from ria_tpu.fec.chase import ChaseKey
+    from ria_tpu.fec.interleave import apply_perm, channel_perm
+
+    key = ChaseKey(header["seq"], header["src_hash"], header["dst_hash"])
+    total_cw = len(oks)
+    raw = cw_soft
+    if ci_bits:
+        raw = apply_perm(cw_soft, channel_perm(ci_bits), inverse=True)
+    combined_rows, combined_idx = [], []
+    for i in range(total_cw):
+        if oks[i]:
+            chase.mark_decoded(key, i)
+            continue
+        chase.store(key, i, raw[i], total_cw, int(header["type"]))
+        acc = chase.get_combined(key, i)
+        if acc is not None and chase.get_combine_count(key, i) > 1:
+            combined_rows.append(acc)
+            combined_idx.append(i)
+    if combined_rows:
+        retry = decode_codewords(np.stack(combined_rows), rate, None)
+        r_oks, r_chunks = retry
+        for j, i in enumerate(combined_idx):
+            if r_oks[j]:
+                oks[i] = True
+                chunks[i] = r_chunks[j]
+                chase.mark_decoded(key, i)
+                chase.stats.recoveries += 1
+    return oks, chunks
+
+
 class MCDPSKWaveform:
     """MC-DPSK: chirp handshake preamble, ZC connected-mode preamble."""
 
@@ -135,7 +168,8 @@ class MCDPSKWaveform:
         res = mc_dpsk.demodulate(jnp.asarray(frame), jnp.float32(cfo), self.cfg, n_sym)
         return np.asarray(res.soft_bits)[:num_bits], res
 
-    def rx_frame(self, audio: np.ndarray, light: bool = False) -> RxFrame:
+    def rx_frame(self, audio: np.ndarray, light: bool = False,
+                 chase=None) -> RxFrame:
         sync = self.detect_sync(audio, light)
         if sync is None:
             return RxFrame(False, None, None, None, None)
@@ -157,11 +191,25 @@ class MCDPSKWaveform:
         total_cw = 1 if header["is_control"] else max(1, int(header["total_cw"]))
         soft, res = self._demod_bits(audio, start, cfo, total_cw * LDPC_BITS)
         ci = None if header["is_control"] else self._ci_bits
-        oks, chunks = decode_codewords(soft.reshape(total_cw, LDPC_BITS), self.rate, ci)
-        frame_bytes = reassemble_codewords(list(chunks), self.rate) if oks.all() else None
+        cw_soft = soft.reshape(total_cw, LDPC_BITS)
+        oks, chunks = decode_codewords(cw_soft, self.rate, ci)
+        oks = np.array(oks)
+        chunks = list(chunks)
+
+        # HARQ chase combining (streaming_decoder.cpp:2729-2767): accumulate
+        # failed-CW LLRs across retransmissions and retry on the combined sum.
+        if chase is not None and not header["is_control"] and not oks.all():
+            oks, chunks = _chase_combine(chase, header, cw_soft, oks, chunks,
+                                         self.rate, ci)
+
+        frame_bytes = reassemble_codewords(chunks, self.rate) if oks.all() else None
         ok = bool(oks.all())
         if ok and not header["is_control"]:
             ok = DataFrame.deserialize(frame_bytes) is not None
+        if ok and chase is not None and not header["is_control"]:
+            from ria_tpu.fec.chase import ChaseKey
+
+            chase.remove(ChaseKey(header["seq"], header["src_hash"], header["dst_hash"]))
         return RxFrame(ok, frame_bytes, header, oks, soft,
                        snr_db=float(res.snr_estimate_db),
                        fading_index=float(res.freq_fading_index + res.temporal_fading_index),
@@ -267,7 +315,7 @@ class OFDMCoxWaveform(_OFDMWaveformBase):
         return {"start": int(res.lts_start), "cfo_hz": float(res.cfo_hz),
                 "corr": float(res.metric), "kind": "sc"}
 
-    def rx_frame(self, audio: np.ndarray, light: bool = False) -> RxFrame:
+    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None) -> RxFrame:
         sync = self.detect_sync(audio)
         if sync is None:
             return RxFrame(False, None, None, None, None)
@@ -312,7 +360,7 @@ class OFDMChirpWaveform(_OFDMWaveformBase):
                 "corr": float(max(float(res.up_corr), float(res.down_corr))),
                 "kind": "chirp"}
 
-    def rx_frame(self, audio: np.ndarray, light: bool = False) -> RxFrame:
+    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None) -> RxFrame:
         sync = self.detect_sync(audio, light)
         if sync is None:
             return RxFrame(False, None, None, None, None)

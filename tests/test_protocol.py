@@ -194,3 +194,20 @@ def test_engine_file_transfer():
     assert received, "file not delivered"
     name, data, ok = received[0]
     assert name == "test.bin" and ok and data == payload
+
+
+def test_session_with_chase_combining_low_snr():
+    """Marginal SNR session: retransmissions + chase combining deliver data.
+
+    At 1-2 dB the MC-DPSK DBPSK frames fail sometimes; NACK-triggered
+    retransmissions accumulate LLRs in the chase cache until decode succeeds
+    (reference tools/test_chase_cache.cpp behavior, end to end).
+    """
+    sim = DualStationSim(awgn(2.0), seed=21)
+    got = []
+    sim.bravo.conn.on_message = lambda d: got.append(d)
+    assert sim.alpha.conn.connect("BRAVO")
+    assert sim.run_until(sim.both_connected, max_ticks=250)
+    sim.alpha.conn.send_message(b"chase me through the noise")
+    ok = sim.run_until(lambda: got == [b"chase me through the noise"], max_ticks=300)
+    assert ok, f"not delivered; chase stats: {sim.bravo.chase.stats}"
