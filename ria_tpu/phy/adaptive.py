@@ -1,0 +1,99 @@
+"""Adaptive mode control and carrier sense.
+
+Contracts from the reference:
+- AdaptiveModeController (src/gui/adaptive_mode.{hpp,cpp}): pilot-SNR ->
+  (modulation, rate) ladder with 2 dB hysteresis and 3-frame stability
+  before switching;
+- carrier sense (src/gui/modem/modem_carrier_sense.cpp): EMA-smoothed RMS
+  channel energy vs threshold ("listen before talk");
+- TX post-processing (modem_engine.hpp:356): lead-in silence, band FIR,
+  output scaling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+HYSTERESIS_DB = 2.0
+MIN_FRAMES_BEFORE_SWITCH = 3
+ENERGY_SMOOTHING = 0.1
+
+# Pilot-SNR ladder (adaptive_mode.cpp:recommendMode)
+_LADDER = [
+    (38.0, ("QAM64", "R5_6")),
+    (34.0, ("QAM64", "R3_4")),
+    (30.0, ("QAM16", "R3_4")),
+    (26.0, ("QAM16", "R2_3")),
+    (24.0, ("QPSK", "R2_3")),
+    (22.0, ("QPSK", "R1_2")),
+    (18.0, ("BPSK", "R1_2")),
+]
+_FLOOR = ("BPSK", "R1_4")
+
+
+def recommend_mode(snr_db: float) -> tuple[str, str]:
+    for thr, mode in _LADDER:
+        if snr_db > thr:
+            return mode
+    return _FLOOR
+
+
+class AdaptiveModeController:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.modulation, self.rate = _FLOOR
+        self.last_switch_snr = 0.0
+        self.frames_at_current = 0
+
+    def update(self, snr_db: float) -> bool:
+        """Feed an SNR measurement; returns True if the mode changed."""
+        self.frames_at_current += 1
+        mod, rate = recommend_mode(snr_db)
+        if (mod, rate) == (self.modulation, self.rate):
+            return False
+        if self.frames_at_current < MIN_FRAMES_BEFORE_SWITCH:
+            return False
+        if abs(snr_db - self.last_switch_snr) < HYSTERESIS_DB and self.last_switch_snr:
+            return False
+        self.modulation, self.rate = mod, rate
+        self.last_switch_snr = snr_db
+        self.frames_at_current = 0
+        return True
+
+
+class CarrierSense:
+    """EMA RMS energy vs threshold (listen-before-talk)."""
+
+    def __init__(self, threshold: float = 0.05):
+        self.threshold = threshold
+        self.energy = 0.0
+
+    def update(self, samples: np.ndarray):
+        if len(samples) == 0:
+            return
+        rms = float(np.sqrt(np.mean(np.square(samples))))
+        self.energy = ENERGY_SMOOTHING * rms + (1.0 - ENERGY_SMOOTHING) * self.energy
+
+    @property
+    def busy(self) -> bool:
+        return self.energy > self.threshold
+
+
+def tx_post_process(samples: np.ndarray, lead_in_ms: float = 50.0,
+                    sample_rate: float = 48000.0, band=(200.0, 2900.0),
+                    scale: float = 1.0, fir_taps: int = 129) -> np.ndarray:
+    """Lead-in silence + band FIR + output scale (ModemEngine::postProcessTx)."""
+    from ria_tpu.dsp.fir import design_bandpass
+
+    import jax.numpy as jnp
+    from ria_tpu.dsp.fir import fft_convolve
+
+    h = design_bandpass(fir_taps, band[0], band[1], sample_rate)
+    filtered = np.asarray(fft_convolve(jnp.asarray(samples, jnp.float32),
+                                       jnp.asarray(h), mode="same"), np.float32)
+    lead = np.zeros(int(sample_rate * lead_in_ms / 1000.0), np.float32)
+    return np.concatenate([lead, filtered * scale])
