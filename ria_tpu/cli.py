@@ -1,0 +1,158 @@
+"""``ria`` command-line tool: single-frame TX/RX and info.
+
+Mirrors the reference CLI (src/main.cpp): ``ptx`` renders a frame (text,
+ping, connect, disconnect) to float32 samples on stdout or a file; ``prx``
+decodes float32 samples from a file or stdin and prints parsed frames;
+``info`` prints the modem configuration.  Flags: -s/-d callsigns,
+-w waveform, -m modulation, -r rate, -o output.
+
+Usage:
+  python -m ria_tpu.cli ptx "hello world" -s W1AW -d VE3ABC -o tx.f32
+  python -m ria_tpu.cli prx tx.f32
+  python -m ria_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _build_waveform(args):
+    from ria_tpu.phy.frame_v2 import WaveformMode
+    from ria_tpu.wave.api import create_waveform
+
+    mode = WaveformMode[args.waveform.upper()]
+    return create_waveform(mode, args.modulation and args.modulation.upper(),
+                           args.rate and args.rate.upper())
+
+
+def cmd_ptx(args) -> int:
+    from ria_tpu.phy.frame_v2 import (
+        ConnectFrame, DataFrame, FrameType, PING_MAGIC, make_fixed_data_frame,
+    )
+    from ria_tpu.phy.frame_v2 import WaveformMode
+
+    wf = _build_waveform(args)
+    text = args.payload
+
+    if text == "ping":
+        from ria_tpu.utils.bits import bytes_to_bits
+        from ria_tpu.wave import mc_dpsk
+
+        cfg = wf.cfg if hasattr(wf, "cfg") and hasattr(wf.cfg, "bits_per_mc_symbol") else None
+        if cfg is None:
+            print("ping requires MC_DPSK", file=sys.stderr)
+            return 1
+        bits = np.zeros(4 * cfg.bits_per_mc_symbol, np.int64)
+        magic = bytes_to_bits(PING_MAGIC)
+        bits[: len(magic)] = magic
+        samples = np.concatenate([mc_dpsk.preamble(cfg), mc_dpsk.modulate(bits, cfg)])
+    elif text == "connect":
+        f = ConnectFrame(type=FrameType.CONNECT, src_callsign=args.src,
+                         dst_callsign=args.dst, mode_capabilities=0x3F)
+        samples = wf.tx_frame(f.serialize())
+    elif text == "disconnect":
+        f = ConnectFrame(type=FrameType.DISCONNECT, src_callsign=args.src,
+                         dst_callsign=args.dst)
+        samples = wf.tx_frame(f.serialize())
+    else:
+        if wf.mode == WaveformMode.MC_DPSK:
+            frame = DataFrame.make_data(args.src, args.dst, 0, text.encode())
+        else:
+            frame = make_fixed_data_frame(args.src, args.dst, 0, text.encode(), wf.rate)
+        samples = wf.tx_frame(frame.serialize())
+
+    data = np.asarray(samples, np.float32).tobytes()
+    if args.output and args.output != "-":
+        with open(args.output, "wb") as f:
+            f.write(data)
+        print(f"wrote {len(samples)} samples ({len(samples)/48000.0:.2f}s) to {args.output}",
+              file=sys.stderr)
+    else:
+        sys.stdout.buffer.write(data)
+    return 0
+
+
+def cmd_prx(args) -> int:
+    from ria_tpu.phy.frame_v2 import ControlFrame, DataFrame, ConnectFrame
+
+    if args.input == "-":
+        raw = sys.stdin.buffer.read()
+    else:
+        raw = open(args.input, "rb").read()
+    audio = np.frombuffer(raw, np.float32)
+    print(f"read {len(audio)} samples ({len(audio)/48000.0:.2f}s)", file=sys.stderr)
+
+    wf = _build_waveform(args)
+    rx = wf.rx_frame(audio)
+    if not rx.ok and hasattr(wf, "detect_sync"):
+        rx = wf.rx_frame(audio, light=True)
+    if not rx.ok:
+        print("no frame decoded")
+        return 1
+    fb = rx.frame_bytes
+    for cls in (ConnectFrame, ControlFrame, DataFrame):
+        g = cls.deserialize(fb)
+        if g is not None:
+            print(f"type={g.type.name} " + (
+                f"src={g.src_callsign} dst={g.dst_callsign}"
+                if cls is ConnectFrame else
+                f"seq={g.seq} src={g.src_hash:06x} dst={g.dst_hash:06x}"))
+            if cls is DataFrame:
+                print("payload:", g.payload.rstrip(b"\x00"))
+            break
+    print(f"snr={rx.snr_db:.1f} dB fading={rx.fading_index:.2f} cfo={rx.cfo_hz:.1f} Hz")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from ria_tpu import __version__
+    from ria_tpu.fec.ldpc_matrix import CODE_PARAMS
+    from ria_tpu.wave.mc_dpsk import MCDPSKConfig
+    from ria_tpu.wave.ofdm import OFDMConfig
+
+    print(f"ria_tpu {__version__} — TPU-native HF modem framework")
+    mc = MCDPSKConfig()
+    print(f"MC-DPSK: {mc.num_carriers} carriers {mc.freq_low:.0f}-{mc.freq_high:.0f} Hz, "
+          f"{mc.sample_rate/mc.samples_per_symbol:.2f} baud")
+    of = OFDMConfig()
+    print(f"OFDM: fft={of.fft_size} cp={of.cp_len} carriers={of.num_carriers} "
+          f"center={of.center_freq:.0f} Hz")
+    print("LDPC: 648-bit codewords, rates " + ", ".join(CODE_PARAMS))
+    print("waveforms: MC_DPSK OFDM_CHIRP OFDM_COX OTFS MFSK DPSK (+AFDM transform)")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ria", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ptx = sub.add_parser("ptx", help="render a frame to f32 samples")
+    ptx.add_argument("payload", help='text, or "ping"/"connect"/"disconnect"')
+    ptx.add_argument("-s", "--src", default="NOCALL")
+    ptx.add_argument("-d", "--dst", default="CQ")
+    ptx.add_argument("-w", "--waveform", default="MC_DPSK")
+    ptx.add_argument("-m", "--modulation", default=None)
+    ptx.add_argument("-r", "--rate", default=None)
+    ptx.add_argument("-o", "--output", default="-")
+    ptx.set_defaults(fn=cmd_ptx)
+
+    prx = sub.add_parser("prx", help="decode f32 samples")
+    prx.add_argument("input", help="file path or - for stdin")
+    prx.add_argument("-w", "--waveform", default="MC_DPSK")
+    prx.add_argument("-m", "--modulation", default=None)
+    prx.add_argument("-r", "--rate", default=None)
+    prx.set_defaults(fn=cmd_prx)
+
+    info = sub.add_parser("info", help="print modem configuration")
+    info.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
