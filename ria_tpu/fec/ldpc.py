@@ -43,20 +43,28 @@ class DecodeResult(NamedTuple):
 
 @functools.lru_cache(maxsize=None)
 def make_decoder(rate: str, max_iters: int | None = None,
-                 min_sum_factor: float = MIN_SUM_FACTOR):
+                 min_sum_factor: float = MIN_SUM_FACTOR,
+                 precision: str = "f32"):
     """Build a jitted batched decoder: llrs [B, 648] -> DecodeResult.
 
     min_sum_factor: normalization factor (reference default 0.75; the OFDM
     fixed-frame path uses 0.9375 with a factor-diversity retry ladder,
     frame_v2.cpp decodeFixedFrame).
+
+    precision: "bf16" runs the gather/scatter matmuls with bfloat16 inputs
+    and fp32 accumulation (4x MXU throughput; min-sum BP is robust to
+    message quantization — hardware decoders use 6-8 bit messages), "f32"
+    keeps everything float32.
     """
     code = get_code(rate)
     if max_iters is None:
         max_iters = RECOMMENDED_ITERS[rate]
     m, n, k, D = code.m, code.n, code.k, code.max_degree
+    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     # numpy closures lower to MLIR constants without a device readback.
-    gather = code.gather                       # [m*D, n]
+    gather = code.gather.astype(mm_dtype)      # [m*D, n]
+    gather_f32 = code.gather                   # [m*D, n] (parity check)
     mask = code.row_mask                       # [m, D]
 
     def _check_update(v2c):
@@ -74,14 +82,17 @@ def make_decoder(rate: str, max_iters: int | None = None,
         c2v = sign_prod * sgn * excl_min * min_sum_factor
         return jnp.where(mask, c2v, 0.0)
 
+    def _mm(a, b):
+        return jnp.dot(a.astype(mm_dtype), b, preferred_element_type=jnp.float32)
+
     def decode(llrs: jnp.ndarray) -> DecodeResult:
         B = llrs.shape[0]
         llr_in = llrs.astype(jnp.float32)
-        v2c0 = (llr_in @ gather.T).reshape(B, m, D)
+        v2c0 = _mm(llr_in, gather.T).reshape(B, m, D)
 
         def parity_ok(llr_total):
             hard = (llr_total < 0).astype(jnp.float32)
-            edge_bits = (hard @ gather.T).reshape(B, m, D)
+            edge_bits = (hard @ gather_f32.T).reshape(B, m, D)
             syndrome = jnp.sum(edge_bits, axis=-1) % 2.0
             return jnp.all(syndrome == 0.0, axis=-1)
 
@@ -92,8 +103,8 @@ def make_decoder(rate: str, max_iters: int | None = None,
         def body(carry):
             v2c, llr_total, done, iters, it = carry
             c2v = _check_update(v2c)
-            llr_total_new = llr_in + (c2v.reshape(B, m * D) @ gather)
-            v2c_new = (llr_total_new @ gather.T).reshape(B, m, D) - c2v
+            llr_total_new = llr_in + _mm(c2v.reshape(B, m * D), gather)
+            v2c_new = _mm(llr_total_new, gather.T).reshape(B, m, D) - c2v
             v2c_new = jnp.clip(v2c_new, -LLR_CLAMP, LLR_CLAMP)
             ok = parity_ok(llr_total_new)
             upd = ~done
@@ -129,6 +140,34 @@ def make_encoder(rate: str):
         return jnp.concatenate([info_f, parity], axis=-1).astype(jnp.uint8)
 
     return jax.jit(encode)
+
+
+def decode_chunked(llrs, rate: str, chunk: int = 512, max_iters: int | None = None,
+                   min_sum_factor: float = MIN_SUM_FACTOR) -> DecodeResult:
+    """Decode a large batch in fixed-size chunks.
+
+    The while_loop early-exits only when EVERY codeword in a call converges,
+    so one straggler stalls the whole batch; chunking bounds that coupling
+    (measured on v5e: B=8192 monolithic is ~3x slower than 16x512).
+    """
+    import numpy as _np
+
+    llrs = _np.asarray(llrs, _np.float32)
+    B = llrs.shape[0]
+    if B <= chunk:
+        return make_decoder(rate, max_iters, min_sum_factor)(llrs)
+    dec = make_decoder(rate, max_iters, min_sum_factor)
+    pad = (-B) % chunk
+    padded = _np.concatenate([llrs, _np.zeros((pad, llrs.shape[1]), _np.float32)])
+    outs = [dec(padded[i : i + chunk]) for i in range(0, len(padded), chunk)]
+    import jax.numpy as _jnp
+
+    return DecodeResult(
+        _jnp.concatenate([o.info_bits for o in outs])[:B],
+        _jnp.concatenate([o.success for o in outs])[:B],
+        _jnp.concatenate([o.iterations for o in outs])[:B],
+        _jnp.concatenate([o.llr_total for o in outs])[:B],
+    )
 
 
 def decode_with_retries(llrs: np.ndarray, rate: str, max_iters: int | None = None,
