@@ -29,7 +29,7 @@ def main() -> None:
     cfg = MCDPSKConfig(num_carriers=10, bits_per_symbol=1)
     ncw = 4
     num_bits = ncw * 648
-    batch = 32
+    batch = 64  # measured sweet spot on v5e (B=128 hits memory pressure)
     window = cfg.frame_samples(num_bits) + 12000  # frame + search slack
 
     # Build the TX side once (host) and place frames at random offsets.
