@@ -295,6 +295,28 @@ class _OFDMWaveformBase:
                        cfo_hz=cfo, start_sample=lts_start)
 
 
+def _burst_tx_bits(frames: list[bytes], rate: str, ci_bits: int | None) -> np.ndarray:
+    """Encode N frames and burst-interleave their coded bytes across the
+    N physical frames (reference encodeBurstLight + BurstInterleaver)."""
+    from ria_tpu.fec.interleave import burst_interleave_bytes
+    from ria_tpu.utils.bits import bits_to_bytes, bytes_to_bits
+
+    coded = []
+    for fb in frames:
+        bits = encode_fixed_frame(fb, rate, ci_bits)
+        coded.append(np.frombuffer(bits_to_bytes(bits), np.uint8))
+    phys = burst_interleave_bytes(np.stack(coded))
+    return np.concatenate([bytes_to_bits(phys[i].tobytes()) for i in range(len(frames))])
+
+
+def _burst_rx_decode(soft: np.ndarray, group: int, rate: str, ci_bits: int | None):
+    """[group*2592] physical soft bits -> list of (oks, frame_bytes|None)."""
+    from ria_tpu.fec.interleave import burst_deinterleave_soft
+
+    logical = burst_deinterleave_soft(soft.reshape(group, 2592))
+    return [decode_fixed_frame(logical[i], rate, ci_bits) for i in range(group)]
+
+
 class OFDMCoxWaveform(_OFDMWaveformBase):
     """OFDM with Schmidl-Cox sync ("OFDM-COX", stable/NVIS channels)."""
 
@@ -323,13 +345,39 @@ class OFDMCoxWaveform(_OFDMWaveformBase):
 
 
 class OFDMChirpWaveform(_OFDMWaveformBase):
-    """OFDM with dual-chirp acquisition + LTS; LTS-only light preamble."""
+    """OFDM with dual-chirp acquisition + LTS; LTS-only light preamble.
+
+    Burst mode (tx_burst/rx_burst): one light preamble carries `group`
+    frames whose coded bytes are spread across all physical frames, so one
+    lost frame costs each codeword only 1/group of its bits (reference
+    encodeBurstLight / BurstInterleaver).  Burst mode is negotiated by the
+    protocol (explicit group size) rather than signalled by a negated LTS
+    as in the reference — magnitude-based LTS correlation cannot carry the
+    sign, and the negotiated path avoids the ambiguity.
+    """
 
     mode = WaveformMode.OFDM_CHIRP
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
         self.chirp_cfg = chirp_sync.ChirpConfig()
+
+    def tx_burst(self, frames: list[bytes], tx_cfo_hz: float = 0.0) -> np.ndarray:
+        bits = _burst_tx_bits(frames, self.rate, self._ci_bits)
+        return ofdm.tx_frame(bits, self.cfg, preamble="lts", training_count=2,
+                             tx_cfo_hz=tx_cfo_hz)
+
+    def rx_burst(self, audio: np.ndarray, group: int):
+        """Returns list[RxFrame-lite]: (ok, frame_bytes) per logical frame."""
+        sync = self.detect_sync(audio, light=True)
+        if sync is None:
+            return None
+        num_bits = group * 4 * LDPC_BITS
+        soft, res = self._demod(audio, sync["start"], sync["cfo_hz"], self.cfg, num_bits)
+        out = []
+        for oks, fb in _burst_rx_decode(soft, group, self.rate, self._ci_bits):
+            out.append((fb is not None and bool(np.asarray(oks).all()), fb))
+        return out
 
     def preamble_samples(self) -> int:
         return self.chirp_cfg.total_samples

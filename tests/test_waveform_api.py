@@ -87,3 +87,21 @@ def test_ofdm_chirp_fading():
     assert rx.ok
     g = DataFrame.deserialize(rx.frame_bytes)
     assert g.payload[: len(payload)] == payload
+
+
+def test_ofdm_burst_interleave_roundtrip():
+    """4-frame burst: one preamble, coded bytes spread across frames."""
+    wf = create_waveform(WaveformMode.OFDM_CHIRP, "DQPSK", "R1_2")
+    frames = []
+    for i in range(4):
+        f = make_fixed_data_frame("W1AW", "VE3ABC", i, f"burst frame {i}".encode(), "R1_2")
+        frames.append(f.serialize())
+    tx = wf.tx_burst(frames)
+    out = _through_channel(tx, 15.0, seed=8)
+    res = wf.rx_burst(out, group=4)
+    assert res is not None
+    assert all(ok for ok, _ in res), [ok for ok, _ in res]
+    for i, (ok, fb) in enumerate(res):
+        g = DataFrame.deserialize(fb)
+        assert g is not None and g.seq == i
+        assert g.payload.rstrip(b"\x00") == f"burst frame {i}".encode()
