@@ -57,6 +57,7 @@ class Station:
         self.rx_buffer = np.zeros(0, np.float32)
         self.max_buffer = 48000 * 20
         self._last_failed_sync = -1
+        self._searched_len = -1  # skip re-search until new audio arrives
 
         from ria_tpu.fec.chase import ChaseCache
 
@@ -137,9 +138,15 @@ class Station:
     def _consume(self, upto: int):
         self.rx_buffer = self.rx_buffer[max(0, upto):]
         self._last_failed_sync = -1
+        self._searched_len = -1
 
     def poll(self):
         """Attempt decode of buffered audio; dispatch to the connection."""
+        # Throttle: nothing new arrived since the last unsuccessful pass.
+        if len(self.rx_buffer) <= self._searched_len:
+            return
+        self._searched_len = len(self.rx_buffer)
+
         connected = self.conn.state == ConnectionState.CONNECTED
         wf = self.data_wf if connected else self.handshake_wf
         light = connected

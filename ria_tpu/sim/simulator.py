@@ -34,7 +34,8 @@ class SimResult:
 class DualStationSim:
     def __init__(self, channel_cfg: ChannelConfig | None = None, seed: int = 42,
                  block_ms: float = 200.0, config_a: ConnectionConfig | None = None,
-                 config_b: ConnectionConfig | None = None):
+                 config_b: ConnectionConfig | None = None,
+                 save_signals: str | None = None):
         self.channel_cfg = channel_cfg or awgn(15.0)
         self.block = int(48000 * block_ms / 1000.0)
         self.block_ms = block_ms
@@ -43,6 +44,14 @@ class DualStationSim:
         self.key_ab = jax.random.PRNGKey(seed)
         self.key_ba = jax.random.PRNGKey(seed + 1)
         self.ticks = 0
+        # Signal capture (--save-signals equivalent, cli_simulator.cpp:2540):
+        # raw f32 traces of what each station hears.
+        self._capture = None
+        if save_signals:
+            self._capture = {
+                "ab": open(f"{save_signals}_alpha_to_bravo.f32", "wb"),
+                "ba": open(f"{save_signals}_bravo_to_alpha.f32", "wb"),
+            }
 
     def _channel(self, x: np.ndarray, direction: str) -> np.ndarray:
         key = self.key_ab if direction == "ab" else self.key_ba
@@ -58,11 +67,22 @@ class DualStationSim:
         """One lock-step audio block in both directions."""
         a_tx = self.alpha.pull_tx(self.block)
         b_tx = self.bravo.pull_tx(self.block)
-        self.bravo.feed_audio(self._channel(a_tx, "ab"))
-        self.alpha.feed_audio(self._channel(b_tx, "ba"))
+        ab = self._channel(a_tx, "ab")
+        ba = self._channel(b_tx, "ba")
+        if self._capture:
+            self._capture["ab"].write(ab.tobytes())
+            self._capture["ba"].write(ba.tobytes())
+        self.bravo.feed_audio(ab)
+        self.alpha.feed_audio(ba)
         self.alpha.tick(int(self.block_ms))
         self.bravo.tick(int(self.block_ms))
         self.ticks += 1
+
+    def close(self):
+        if self._capture:
+            for f in self._capture.values():
+                f.close()
+            self._capture = None
 
     def run_until(self, predicate, max_ticks: int = 400) -> bool:
         while self.ticks < max_ticks:
