@@ -68,10 +68,15 @@ class ContinuousAudioSimulator:
                    and not self._stop.is_set()):
                 time.sleep(0.001)
             with self._lock:
-                tx = me.pull_tx(self.block)
-                if self.ptt_jitter_ms > 0 and np.any(np.abs(tx) > 1e-6):
+                # PTT lead jitter: delay the START of a new burst only
+                # (per-block shifting would corrupt the stream).
+                if (self.ptt_jitter_ms > 0 and me.tx_pending
+                        and not getattr(me, "_ptt_active", False)):
                     jitter = int(self._rng.uniform(0, self.ptt_jitter_ms) * 48)
-                    tx = np.concatenate([np.zeros(jitter, np.float32), tx])[: self.block]
+                    if jitter:
+                        me.tx_queue.insert(0, np.zeros(jitter, np.float32))
+                me._ptt_active = me.tx_pending
+                tx = me.pull_tx(self.block)
                 ch = self._ch_ab if peer_dir == "ab" else self._ch_ba
                 out = ch.process(tx) if ch is not None else tx
                 air = self._air_ab if peer_dir == "ab" else self._air_ba
