@@ -1,0 +1,128 @@
+"""Channel characterization and OFDM<->OTFS adaptive selection.
+
+Contracts from the reference:
+- ChannelReport wire format (frame_v2.cpp): 5 bytes — SNR*5 (0.2 dB),
+  delay_ms*10 (0.1 ms), doppler_hz*10 (0.1 Hz), recommended mode,
+  capabilities bitmap;
+- ITU-R F.1487 channel classes (include/ultra/adaptive_modem.hpp):
+  Good: delay < 0.75 ms and doppler < 0.3 Hz;
+  Moderate: 0.75 <= delay < 1.5 and 0.3 <= doppler < 2.0;
+  Poor: delay >= 1.5 or doppler >= 2.0; Flutter: doppler >= 5;
+- empirical mode selection (adaptive_modem.hpp:216-224): Good -> OTFS_EQ,
+  Moderate -> OFDM, Poor -> OTFS_RAW;
+- delay spread estimated from the channel impulse response (IFFT of the
+  per-carrier frequency response), Doppler spread from symbol-to-symbol
+  channel decorrelation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class ChannelEstimate:
+    snr_db: float = 0.0
+    delay_spread_ms: float = 0.0
+    doppler_spread_hz: float = 0.0
+
+    def is_good(self) -> bool:
+        return self.delay_spread_ms < 0.75 and self.doppler_spread_hz < 0.3
+
+    def is_moderate(self) -> bool:
+        return (0.75 <= self.delay_spread_ms < 1.5
+                and 0.3 <= self.doppler_spread_hz < 2.0)
+
+    def is_poor(self) -> bool:
+        return self.delay_spread_ms >= 1.5 or self.doppler_spread_hz >= 2.0
+
+    def is_flutter(self) -> bool:
+        return self.doppler_spread_hz >= 5.0
+
+    @property
+    def condition_name(self) -> str:
+        if self.is_flutter():
+            return "Flutter"
+        if self.is_poor():
+            return "Poor"
+        if self.is_good():
+            return "Good"
+        return "Moderate"
+
+    def recommended_mode(self) -> str:
+        """'OTFS_EQ' | 'OFDM' | 'OTFS_RAW' (adaptive_modem.hpp:216-224)."""
+        if self.is_poor():
+            return "OTFS_RAW"
+        if self.is_good():
+            return "OTFS_EQ"
+        return "OFDM"
+
+
+@dataclass
+class ChannelReport:
+    snr_db: float = 0.0
+    delay_spread_ms: float = 0.0
+    doppler_spread_hz: float = 0.0
+    recommended_mode: int = 0
+    capabilities: int = 0x3F
+
+    def encode(self) -> bytes:
+        return bytes([
+            int(min(250.0, max(0.0, self.snr_db * 5.0))),
+            int(min(250.0, max(0.0, self.delay_spread_ms * 10.0))),
+            int(min(250.0, max(0.0, self.doppler_spread_hz * 10.0))),
+            self.recommended_mode & 0xFF,
+            self.capabilities & 0xFF,
+        ])
+
+    @classmethod
+    def decode(cls, data: bytes) -> "ChannelReport":
+        if len(data) < 5:
+            return cls()
+        return cls(snr_db=data[0] / 5.0, delay_spread_ms=data[1] / 10.0,
+                   doppler_spread_hz=data[2] / 10.0, recommended_mode=data[3],
+                   capabilities=data[4])
+
+
+def estimate_channel(h_per_symbol: np.ndarray, carrier_spacing_hz: float,
+                     symbol_duration_s: float, noise_var: float = 0.0) -> ChannelEstimate:
+    """Characterize the channel from per-symbol frequency responses.
+
+    h_per_symbol: [S, C] complex per-carrier channel estimates over S
+    training/pilot symbols (e.g. repeated LTS or OTFS preamble symbols).
+    """
+    h = np.asarray(h_per_symbol)
+    S, C = h.shape
+
+    # Delay spread: RMS width of the impulse response (IFFT over carriers).
+    h_mean = h.mean(axis=0)
+    imp = np.fft.ifft(h_mean)
+    p = np.abs(imp) ** 2
+    # Center the window on the strongest tap to avoid wrap bias.
+    peak = int(np.argmax(p))
+    p = np.roll(p, -peak + C // 4)
+    taps = np.arange(C)
+    total = p.sum() + 1e-12
+    mean_tap = (taps * p).sum() / total
+    rms_taps = np.sqrt((((taps - mean_tap) ** 2) * p).sum() / total)
+    # Each impulse-response tap spans 1/(C * df) seconds.
+    tap_s = 1.0 / (C * carrier_spacing_hz)
+    delay_ms = float(rms_taps * tap_s * 1000.0)
+
+    # Doppler spread from symbol-to-symbol channel correlation:
+    # rho = |E[h_s conj(h_{s+1})]| / E[|h|^2]; for a Gaussian Doppler
+    # spectrum rho ~ exp(-2 (pi fd T)^2) -> fd = sqrt(-ln rho / 2) / (pi T).
+    if S >= 2:
+        num = np.abs(np.sum(h[:-1] * np.conj(h[1:])))
+        den = np.sum(np.abs(h) ** 2) * (S - 1) / S + 1e-12
+        rho = float(np.clip(num / den, 1e-6, 1.0))
+        fd = np.sqrt(max(-np.log(rho), 0.0) / 2.0) / (np.pi * symbol_duration_s)
+    else:
+        fd = 0.0
+
+    sig = float(np.mean(np.abs(h) ** 2))
+    snr_db = 10.0 * np.log10(max(sig / max(noise_var, 1e-12), 1e-6)) if noise_var > 0 else 30.0
+    return ChannelEstimate(snr_db=snr_db, delay_spread_ms=delay_ms,
+                           doppler_spread_hz=float(fd))

@@ -52,6 +52,7 @@ class Station:
         self.handshake_wf = MCDPSKWaveform(modulation="DBPSK", rate="R1_4")
         self.data_wf = self.handshake_wf
         self._pending_link: LinkMode | None = None
+        self._mfsk_wf = None  # lazy MFSK fallback waveform
 
         self.tx_queue: list[np.ndarray] = []
         self.rx_buffer = np.zeros(0, np.float32)
@@ -78,9 +79,22 @@ class Station:
         self.tx_queue.append(samples.astype(np.float32))
         self.stats.frames_tx += 1
 
+    @property
+    def mfsk_wf(self):
+        if self._mfsk_wf is None:
+            from ria_tpu.wave.api import MFSKWaveform
+
+            self._mfsk_wf = MFSKWaveform()
+        return self._mfsk_wf
+
     def _on_conn_transmit(self, frame_bytes: bytes, handshake: bool):
         if handshake or self.conn.state != ConnectionState.CONNECTED:
-            wf, light = self.handshake_wf, False
+            # After the DPSK budget, handshake frames ride the MFSK
+            # last-resort waveform (connection.hpp:29-33).
+            if handshake and self.conn.use_mfsk_fallback:
+                wf, light = self.mfsk_wf, False
+            else:
+                wf, light = self.handshake_wf, False
         else:
             wf, light = self.data_wf, True
         self.tx_queue.append(np.asarray(wf.tx_frame(frame_bytes, light=light), np.float32))

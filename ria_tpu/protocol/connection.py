@@ -61,7 +61,8 @@ class ConnectionConfig:
     ping_interval_ms: int = 3000
     ping_retries: int = 5
     connect_timeout_ms: int = 12000
-    connect_retries: int = 10
+    connect_retries: int = 10   # 5 DPSK attempts + 5 MFSK attempts
+    dpsk_connect_attempts: int = 5  # switch to MFSK fallback after these
     keepalive_interval_ms: int = 30000
     auto_accept: bool = True
     mode_capabilities: int = 0x3F | 0x40
@@ -205,6 +206,14 @@ class Connection:
         if self.state == ConnectionState.DISCONNECTED and self.config.auto_accept:
             if self.on_pong_tx:
                 self.on_pong_tx()
+
+    @property
+    def use_mfsk_fallback(self) -> bool:
+        """True once CONNECT attempts exceed the DPSK budget — the modem
+        layer should carry further handshake frames on MFSK
+        (connection.hpp:29-33 DPSK_ATTEMPTS fallback)."""
+        return (self.state == ConnectionState.CONNECTING
+                and self._retries >= self.config.dpsk_connect_attempts)
 
     def notify_pong_received(self):
         """Initiator: remote is alive; send the full CONNECT."""

@@ -42,6 +42,21 @@ def _is_control_bytes(frame_bytes: bytes) -> bool:
         0x10 <= frame_bytes[2] <= 0x21 or frame_bytes[2] == 0x40)
 
 
+def _encode_with_cw_patch(frame_bytes: bytes, rate: str, ci_bits: int | None):
+    """Variable-CW LDPC encode, patching total_cw + CRCs in the header when
+    the serializer's guess differs (streaming_encoder.cpp total_cw patch)."""
+    is_ctrl = _is_control_bytes(frame_bytes)
+    ci = None if is_ctrl else ci_bits
+    cw_bits = encode_frame_ldpc(frame_bytes, rate, ci)
+    if not is_ctrl and len(frame_bytes) >= 17 and frame_bytes[12] != len(cw_bits):
+        patched = bytearray(frame_bytes)
+        patched[12] = len(cw_bits)
+        patched[15:17] = frame_v2.crc16(bytes(patched[:15])).to_bytes(2, "big")
+        patched[-2:] = frame_v2.crc16(bytes(patched[:-2])).to_bytes(2, "big")
+        cw_bits = encode_frame_ldpc(bytes(patched), rate, ci)
+    return cw_bits, is_ctrl
+
+
 def _chase_combine(chase, header, cw_soft: np.ndarray, oks: np.ndarray,
                    chunks: list, rate: str, ci_bits: int | None):
     """Store failed-CW LLRs, retry decode on the accumulated sums."""
@@ -415,6 +430,174 @@ class OFDMChirpWaveform(_OFDMWaveformBase):
         return self._rx_at(audio, sync["start"], sync["cfo_hz"])
 
 
+class OTFSWaveform:
+    """OTFS with ZC sync (experimental Good/Poor channels, reference
+    otfs_waveform.{hpp,cpp}).  Each protocol codeword group rides one or
+    more OTFS frames, each with its own 4-symbol channel-estimation
+    preamble, after a single ZC acquisition preamble."""
+
+    mode = WaveformMode.OTFS_EQ
+
+    def __init__(self, modulation: str = "QPSK", rate: str = "R1_4",
+                 raw_dd: bool = False):
+        from ria_tpu.wave import otfs
+
+        self.rate = rate
+        self.modulation = modulation
+        self.raw = raw_dd
+        self.cfg = otfs.OTFSConfig(modulation=modulation,
+                                   dd_differential=raw_dd,
+                                   tf_equalization=not raw_dd)
+        if raw_dd:
+            self.mode = WaveformMode.OTFS_RAW
+        self.zc_cfg = zc_sync.ZCConfig()
+
+    def configure(self, modulation: str, rate: str):
+        from ria_tpu.wave import otfs
+
+        self.modulation = modulation
+        self.rate = rate
+        self.cfg = otfs.OTFSConfig(modulation=modulation,
+                                   dd_differential=self.raw,
+                                   tf_equalization=not self.raw)
+
+    def _frames_for_bits(self, num_bits: int) -> int:
+        return -(-num_bits // self.cfg.bits_per_frame())
+
+    def tx_frame(self, frame_bytes: bytes, light: bool = False,
+                 tx_cfo_hz: float = 0.0) -> np.ndarray:
+        from ria_tpu.wave import otfs
+
+        cw_bits, is_ctrl = _encode_with_cw_patch(frame_bytes, self.rate, None)
+        bits = cw_bits.reshape(-1)
+        per = self.cfg.bits_per_frame()
+        K = self._frames_for_bits(len(bits))
+        padded = np.zeros(K * per, np.int64)
+        padded[: len(bits)] = bits
+        ftype = zc_sync.ZC_CONTROL if is_ctrl else zc_sync.ZC_DATA
+        parts = [zc_sync.generate_preamble(self.zc_cfg, ftype)]
+        for k in range(K):
+            parts.append(otfs.tx_frame(padded[k * per : (k + 1) * per], self.cfg))
+        return np.concatenate(parts).astype(np.float32)
+
+    def detect_sync(self, audio: np.ndarray, light: bool = False):
+        res = zc_sync.detect(jnp.asarray(np.asarray(audio, np.float32)), self.zc_cfg,
+                             root_mask=zc_sync.ROOT_MASK_DATA | zc_sync.ROOT_MASK_CONTROL)
+        if not bool(res.detected):
+            return None
+        return {"start": int(res.start_sample), "cfo_hz": float(res.cfo_hz),
+                "corr": float(res.correlation), "kind": "zc"}
+
+    def _demod_bits(self, audio, start, cfo, num_bits):
+        from ria_tpu.wave import otfs
+
+        per = self.cfg.bits_per_frame()
+        K = self._frames_for_bits(num_bits)
+        frame_len = self.cfg.preamble_samples + self.cfg.frame_samples
+        softs = []
+        snr = 0.0
+        for k in range(K):
+            off = start + k * frame_len
+            chunk = np.zeros(frame_len, np.float32)
+            avail = np.asarray(audio[off : off + frame_len], np.float32)
+            chunk[: len(avail)] = avail
+            res = otfs.demodulate_presynced(jnp.asarray(chunk), jnp.float32(cfo), self.cfg)
+            softs.append(np.asarray(res.soft_bits)[:per])
+            snr += float(res.snr_db) / K
+        return np.concatenate(softs)[:num_bits], snr
+
+    def frame_samples(self, num_codewords: int, light: bool = False) -> int:
+        K = self._frames_for_bits(num_codewords * LDPC_BITS)
+        return self.zc_cfg.preamble_samples + K * (self.cfg.preamble_samples
+                                                   + self.cfg.frame_samples)
+
+    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None) -> RxFrame:
+        sync = self.detect_sync(audio)
+        if sync is None:
+            return RxFrame(False, None, None, None, None)
+        start, cfo = sync["start"], sync["cfo_hz"]
+        soft0, _ = self._demod_bits(audio, start, cfo, LDPC_BITS)
+        ok0, chunk0 = decode_codewords(soft0[None, :], self.rate, None)
+        header = parse_header(chunk0[0]) if ok0[0] else None
+        if header is None:
+            return RxFrame(False, None, None, None, soft0, cfo_hz=cfo, start_sample=start)
+        total_cw = 1 if header["is_control"] else max(1, int(header["total_cw"]))
+        soft, snr = self._demod_bits(audio, start, cfo, total_cw * LDPC_BITS)
+        oks, chunks = decode_codewords(soft.reshape(total_cw, LDPC_BITS), self.rate, None)
+        oks = np.array(oks)
+        frame_bytes = reassemble_codewords(list(chunks), self.rate) if oks.all() else None
+        ok = bool(oks.all())
+        if ok and not header["is_control"]:
+            ok = DataFrame.deserialize(frame_bytes) is not None
+        return RxFrame(ok, frame_bytes, header, oks, soft, snr_db=snr,
+                       cfo_hz=cfo, start_sample=start)
+
+
+class MFSKWaveform:
+    """MFSK last-resort CONNECT waveform (-17..+3 dB; reference
+    mfsk_waveform.{hpp,cpp})."""
+
+    mode = WaveformMode.MFSK
+
+    def __init__(self, num_tones: int = 8, rate: str = "R1_4", modulation: str = "MFSK"):
+        from ria_tpu.wave import mfsk
+
+        self.rate = rate
+        self.modulation = modulation
+        self.cfg = mfsk.MFSKConfig(num_tones=num_tones)
+
+    def configure(self, modulation: str, rate: str):
+        self.rate = rate
+
+    def tx_frame(self, frame_bytes: bytes, light: bool = False,
+                 tx_cfo_hz: float = 0.0) -> np.ndarray:
+        from ria_tpu.wave import mfsk
+
+        cw_bits, _ = _encode_with_cw_patch(frame_bytes, self.rate, None)
+        return mfsk.tx_frame(cw_bits.reshape(-1), self.cfg)
+
+    def frame_samples(self, num_codewords: int, light: bool = False) -> int:
+        return self.cfg.frame_samples(num_codewords * LDPC_BITS)
+
+    def detect_sync(self, audio: np.ndarray, light: bool = False):
+        from ria_tpu.wave import mfsk
+
+        res = mfsk.find_preamble(jnp.asarray(np.asarray(audio, np.float32)), self.cfg)
+        if not bool(res.detected):
+            return None
+        return {"start": int(res.data_start), "cfo_hz": 0.0,
+                "corr": float(res.score), "kind": "mfsk"}
+
+    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None) -> RxFrame:
+        from ria_tpu.wave import mfsk
+
+        sync = self.detect_sync(audio)
+        if sync is None:
+            return RxFrame(False, None, None, None, None)
+        start = sync["start"]
+
+        def demod(nbits):
+            res = mfsk.demodulate(jnp.asarray(np.asarray(audio[start:], np.float32)),
+                                  self.cfg, nbits)
+            return np.asarray(res.soft_bits), res
+
+        soft0, _ = demod(LDPC_BITS)
+        ok0, chunk0 = decode_codewords(soft0[None, :], self.rate, None)
+        header = parse_header(chunk0[0]) if ok0[0] else None
+        if header is None:
+            return RxFrame(False, None, None, None, soft0, start_sample=start)
+        total_cw = 1 if header["is_control"] else max(1, int(header["total_cw"]))
+        soft, res = demod(total_cw * LDPC_BITS)
+        oks, chunks = decode_codewords(soft.reshape(total_cw, LDPC_BITS), self.rate, None)
+        oks = np.array(oks)
+        frame_bytes = reassemble_codewords(list(chunks), self.rate) if oks.all() else None
+        ok = bool(oks.all())
+        if ok and not header["is_control"]:
+            ok = DataFrame.deserialize(frame_bytes) is not None
+        return RxFrame(ok, frame_bytes, header, oks, soft,
+                       snr_db=float(res.snr_estimate_db), start_sample=start)
+
+
 def create_waveform(mode: WaveformMode, modulation: str | None = None,
                     rate: str | None = None, **kw):
     """WaveformFactory equivalent (waveform_factory.hpp:18-60)."""
@@ -427,4 +610,12 @@ def create_waveform(mode: WaveformMode, modulation: str | None = None,
     if mode == WaveformMode.OFDM_COX:
         return OFDMCoxWaveform(modulation=modulation or "QPSK",
                                rate=rate or "R1_2", **kw)
+    if mode == WaveformMode.OTFS_EQ:
+        return OTFSWaveform(modulation=modulation or "QPSK", rate=rate or "R1_4",
+                            raw_dd=False, **kw)
+    if mode == WaveformMode.OTFS_RAW:
+        return OTFSWaveform(modulation=modulation or "QPSK", rate=rate or "R1_4",
+                            raw_dd=True, **kw)
+    if mode == WaveformMode.MFSK:
+        return MFSKWaveform(rate=rate or "R1_4", **kw)
     raise NotImplementedError(f"waveform mode {mode}")

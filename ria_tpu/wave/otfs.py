@@ -185,6 +185,17 @@ def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray,
     core = syms[..., cfg.cp_len :]
     freq = jnp.fft.fft(core, axis=-1)[..., 1 : 1 + M]  # [.., P+N, M]
 
+    # Residual CFO from the repeated preamble symbols (the ZC estimate can
+    # be off by a couple of Hz, which coherent OTFS cannot absorb):
+    # adjacent identical symbols differ by e^{j 2 pi df T_sym}.
+    pre = freq[..., :P, :]
+    corr = jnp.sum(pre[..., 1:, :] * jnp.conj(pre[..., :-1, :]), axis=(-1, -2))
+    t_sym = sym / cfg.sample_rate
+    dphi = jnp.angle(corr)  # radians per symbol
+    # Correct the per-symbol phase ramp across the whole frame.
+    idx = jnp.arange(P + N, dtype=jnp.float32)
+    freq = freq * jnp.exp(-1j * dphi[..., None, None] * idx[..., :, None])
+
     sync = jnp.asarray(_sync_sequence(cfg))
     H = jnp.mean(freq[..., :P, :] / sync, axis=-2)      # [.., M]
     d = freq[..., 1, :] - freq[..., 0, :]

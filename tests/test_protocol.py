@@ -211,3 +211,25 @@ def test_session_with_chase_combining_low_snr():
     sim.alpha.conn.send_message(b"chase me through the noise")
     ok = sim.run_until(lambda: got == [b"chase me through the noise"], max_ticks=300)
     assert ok, f"not delivered; chase stats: {sim.bravo.chase.stats}"
+
+
+def test_mfsk_connect_fallback_switch():
+    """After 5 DPSK CONNECT attempts the handshake switches to MFSK."""
+    from ria_tpu.phy.station import Station
+    from ria_tpu.wave.api import MFSKWaveform
+
+    st = Station("W1AW")
+    st.conn.connect("VE3ABC")
+    st.conn.notify_pong_received()  # enter CONNECTING, sends CONNECT #0
+    assert not st.conn.use_mfsk_fallback
+    # Time out 5 DPSK connect attempts.
+    for _ in range(5):
+        st.conn.tick(st.conn.config.connect_timeout_ms)
+    assert st.conn.use_mfsk_fallback
+    st.tx_queue.clear()
+    st.conn._send_connect()
+    # The queued handshake frame must be MFSK audio now: its length matches
+    # the MFSK frame budget, far longer than the MC-DPSK chirp frame.
+    assert len(st.tx_queue) == 1
+    mfsk_len = len(st.tx_queue[0])
+    assert mfsk_len > MFSKWaveform().frame_samples(2)  # > 2-CW MFSK budget floor / 2

@@ -105,3 +105,37 @@ def test_ofdm_burst_interleave_roundtrip():
         g = DataFrame.deserialize(fb)
         assert g is not None and g.seq == i
         assert g.payload.rstrip(b"\x00") == f"burst frame {i}".encode()
+
+
+def test_otfs_waveform_frame_roundtrip():
+    wf = create_waveform(WaveformMode.OTFS_EQ, "QPSK", "R1_4")
+    f = ControlFrame.make_ack("W1AW", hash_callsign("VE3ABC"), seq=5)
+    tx = wf.tx_frame(f.serialize())
+    out = _through_channel(tx, 18.0, seed=12)
+    rx = wf.rx_frame(out)
+    assert rx.ok
+    g = ControlFrame.deserialize(rx.frame_bytes)
+    assert g is not None and g.seq == 5
+
+
+def test_otfs_waveform_data_frame():
+    wf = create_waveform(WaveformMode.OTFS_EQ, "QPSK", "R1_4")
+    frame = DataFrame.make_data("W1AW", "VE3ABC", 2, b"otfs data frame payload")
+    frame.total_cw = 2
+    tx = wf.tx_frame(frame.serialize())
+    out = _through_channel(tx, 18.0, seed=13)
+    rx = wf.rx_frame(out)
+    assert rx.ok
+    g = DataFrame.deserialize(rx.frame_bytes)
+    assert g.payload == b"otfs data frame payload"
+
+
+def test_mfsk_waveform_control_frame_low_snr():
+    wf = create_waveform(WaveformMode.MFSK)
+    f = ControlFrame.make_ack("W1AW", hash_callsign("VE3ABC"), seq=7)
+    tx = wf.tx_frame(f.serialize())
+    out = _through_channel(tx, -2.0, seed=14, lead=6000, tail=6000)
+    rx = wf.rx_frame(out)
+    assert rx.ok, f"MFSK control decode failed"
+    g = ControlFrame.deserialize(rx.frame_bytes)
+    assert g is not None and g.seq == 7
