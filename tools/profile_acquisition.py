@@ -1,0 +1,89 @@
+"""Acquisition/decode latency profiler (reference tools/profile_acquisition.cpp).
+
+Measures, per waveform: sync search latency over a realistic window, frame
+demod latency, and LDPC decode latency — wall time per call on the active
+JAX backend (TPU when available).
+
+Usage: python tools/profile_acquisition.py [--batch 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def _time(fn, *args, iters=10):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ria_tpu.fec.ldpc import make_decoder
+    from ria_tpu.sync.chirp import detect_dual_chirp
+    from ria_tpu.sync.zc import ZCConfig, detect as zc_detect
+    from ria_tpu.wave.mc_dpsk import MCDPSKConfig, demodulate
+    from ria_tpu.wave.ofdm import OFDMConfig, demodulate_presynced, schmidl_cox_search
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+    B = args.batch
+    rng = np.random.default_rng(0)
+
+    print(f"device: {jax.devices()[0]}  batch: {B}")
+
+    # Chirp search over a 120k-sample window (reference search budget).
+    win = jax.device_put(rng.normal(0, 0.1, (B, 120000)).astype(np.float32))
+    mc = MCDPSKConfig()
+    dt = _time(lambda x: detect_dual_chirp(x, mc.chirp), win)
+    print(f"chirp sync   120k window x{B}: {dt*1e3:8.2f} ms  "
+          f"({B*120000/dt/1e6:8.1f} Msamp/s)")
+
+    # ZC search over a 48k connected-mode window.
+    win2 = jax.device_put(rng.normal(0, 0.1, (B, 48000)).astype(np.float32))
+    dt = _time(lambda x: zc_detect(x, ZCConfig()), win2)
+    print(f"ZC sync       48k window x{B}: {dt*1e3:8.2f} ms  "
+          f"({B*48000/dt/1e6:8.1f} Msamp/s)")
+
+    # MC-DPSK demod: 4-CW frame.
+    nsym = mc.num_data_symbols(4 * 648)
+    need = (mc.training_symbols + 1 + nsym) * mc.samples_per_symbol
+    frames = jax.device_put(rng.normal(0, 0.1, (B, need)).astype(np.float32))
+    cfo = jnp.zeros(B)
+    dt = _time(lambda f: demodulate(f, cfo, mc, nsym), frames)
+    print(f"mc-dpsk demod 4-CW frame x{B}: {dt*1e3:8.2f} ms")
+
+    # OFDM demod: 4-CW DQPSK frame.
+    of = OFDMConfig()
+    S = of.num_symbols_for_bits(4 * 648)
+    need = (2 + S) * of.symbol_samples
+    oframes = jax.device_put(rng.normal(0, 0.1, (B, need)).astype(np.float32))
+    dt = _time(lambda f: demodulate_presynced(f, cfo, of, S, 2), oframes)
+    print(f"ofdm demod    4-CW frame x{B}: {dt*1e3:8.2f} ms")
+
+    # Schmidl-Cox search.
+    dt = _time(lambda x: schmidl_cox_search(x, of), win2)
+    print(f"schmidl-cox   48k window x{B}: {dt*1e3:8.2f} ms")
+
+    # LDPC decode.
+    dec = make_decoder("R1_4")
+    llr = jax.device_put(rng.normal(0, 4, (B * 4, 648)).astype(np.float32))
+    dt = _time(dec, llr)
+    print(f"ldpc R1/4     {B*4} cw (noise): {dt*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
