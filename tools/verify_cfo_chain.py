@@ -50,9 +50,12 @@ def main():
     est = float(sync.cfo_hz)
     print(f"applied CFO: {args.cfo:+.2f} Hz   dual-chirp estimate: {est:+.2f} Hz")
 
-    # Pre/post-correction baseband around a single carrier.
+    # Pre/post-correction baseband: carrier-0 symbol-integrated phasors over
+    # the training symbols (carrier 0's training phase is constant, and the
+    # symbol integration rejects the other carriers).
     start = int(sync.start) + cfg.chirp.total_samples
-    span = audio[start : start + 8 * cfg.samples_per_symbol]
+    sps = cfg.samples_per_symbol
+    span = audio[start : start + cfg.training_symbols * sps]
     z = np.asarray(analytic_signal(jnp.asarray(span)))
     f0 = cfg.carrier_freqs[0]
     t = np.arange(len(z)) / cfg.sample_rate
@@ -64,8 +67,12 @@ def main():
         post.astype(np.complex64).tofile(args.dump_prefix + "_post.cf32")
         print(f"dumped {args.dump_prefix}_pre.cf32 / _post.cf32")
 
-    slope_pre = phase_slope_hz(pre)
-    slope_post = phase_slope_hz(post)
+    def sym_slope(bb):
+        phasors = bb.reshape(cfg.training_symbols, sps).mean(axis=1)
+        return phase_slope_hz(phasors, cfg.sample_rate / sps)
+
+    slope_pre = sym_slope(pre)
+    slope_post = sym_slope(post)
     print(f"phase slope pre-correction:  {slope_pre:+.2f} Hz (expect ~{args.cfo:+.1f})")
     print(f"phase slope post-correction: {slope_post:+.2f} Hz (expect ~0)")
     ok = abs(est - args.cfo) < 3.0 and abs(slope_post) < abs(slope_pre)
