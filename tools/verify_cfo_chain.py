@@ -67,15 +67,13 @@ def main():
         post.astype(np.complex64).tofile(args.dump_prefix + "_post.cf32")
         print(f"dumped {args.dump_prefix}_pre.cf32 / _post.cf32")
 
-    def sym_slope(bb):
-        phasors = bb.reshape(cfg.training_symbols, sps).mean(axis=1)
-        return phase_slope_hz(phasors, cfg.sample_rate / sps)
-
-    slope_pre = sym_slope(pre)
-    slope_post = sym_slope(post)
-    print(f"phase slope pre-correction:  {slope_pre:+.2f} Hz (expect ~{args.cfo:+.1f})")
-    print(f"phase slope post-correction: {slope_post:+.2f} Hz (expect ~0)")
-    ok = abs(est - args.cfo) < 3.0 and abs(slope_post) < abs(slope_pre)
+    slope_pre = phase_slope_hz(pre)
+    slope_post = phase_slope_hz(post)
+    applied = slope_pre - slope_post
+    print(f"phase slope pre-correction:  {slope_pre:+.2f} Hz")
+    print(f"phase slope post-correction: {slope_post:+.2f} Hz")
+    print(f"applied correction (pre-post): {applied:+.2f} Hz (expect {est:+.2f})")
+    ok = abs(est - args.cfo) < 3.0 and abs(applied - est) < 0.5
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
