@@ -73,6 +73,12 @@ class OFDMConfig:
     pilot_spacing: int = 2
     modulation: str = "DQPSK"
     sync_threshold: float = 0.5
+    # Optional decision-directed adaptive equalizer (LMS / RLS), coherent
+    # modes only (reference channel_equalizer.cpp:1236-1369).
+    adaptive_eq: bool = False
+    adaptive_rls: bool = False
+    lms_mu: float = 0.05
+    rls_lambda: float = 0.99
 
     @property
     def symbol_samples(self) -> int:
@@ -634,6 +640,11 @@ def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: OFDMCon
     # Per-carrier EMA instability inflation + differential chain: scan over S.
     ce_margin = CE_MARGIN[mod]
 
+    h_mag_pre = jnp.abs(H_data)
+    mean_h_pre = jnp.mean(h_mag_pre, axis=-1)
+    fading_pre = jnp.where(mean_h_pre > 1e-9,
+                           jnp.std(h_mag_pre, axis=-1) / jnp.maximum(mean_h_pre, 1e-9), 0.0)
+
     def scan_fn(carry, inp):
         ema, var, prev = carry
         eq_s, nv_s = inp  # [..., D]
@@ -643,8 +654,89 @@ def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: OFDMCon
         var_n = var + MAG_EMA_ALPHA * (delta * delta - var)
         norm_var = var / jnp.maximum(ema * ema, 1e-6)
         nv_eff = nv_s * ce_margin * (1.0 + CARRIER_ADAPTIVE_K * norm_var)
+
+        if mod == "D8PSK":
+            # Two-pass D8PSK on fading channels (demodulator.cpp:533-630):
+            # pass 1 estimates the weighted circular-mean phase error vs the
+            # embedded DQPSK grid; pass 2 applies a 50% partial correction
+            # when 3 deg < |err| < 15 deg.  Gated on fading index > 0.30.
+            diff = eq_s * jnp.conj(prev)
+            power = jnp.abs(eq_s) * jnp.abs(prev)
+            phase = jnp.angle(diff)
+            quad = jnp.round((phase - jnp.pi / 4) / (jnp.pi / 2))
+            expected = quad * (jnp.pi / 2) + jnp.pi / 4
+            err = phase - expected
+            err = jnp.where(err > jnp.pi, err - 2 * jnp.pi, err)
+            err = jnp.where(err < -jnp.pi, err + 2 * jnp.pi, err)
+            w = jnp.where(power > 0.1, power, 0.0)
+            sin_sum = jnp.sum(w * jnp.sin(err), axis=-1)
+            cos_sum = jnp.sum(w * jnp.cos(err), axis=-1)
+            mean_err = jnp.where(jnp.sum(w, axis=-1) > 0.1,
+                                 jnp.arctan2(sin_sum, cos_sum), 0.0)
+            apply = ((jnp.abs(mean_err) > 0.05) & (jnp.abs(mean_err) < 0.26)
+                     & (fading_pre > 0.30))
+            corr = jnp.where(apply, -0.5 * mean_err, 0.0)
+            eq_s = eq_s * jnp.exp(1j * corr)[..., None]
+
         llr = _demap(mod, eq_s, prev, nv_eff)
         return (ema_n, var_n, eq_s), llr
+
+    coherent = mod in ("BPSK", "QPSK", "QAM16", "QAM32", "QAM64", "QAM256")
+    if cfg.adaptive_eq and coherent:
+        # Decision-directed LMS/RLS: track per-carrier weights from the LTS
+        # estimate; equalize each symbol with the current weights, then
+        # update toward the hard decision (channel_equalizer.cpp:1343-1369).
+        table = jnp.asarray(constellation_table(mod))
+
+        def hard_decision(v):
+            d2 = jnp.square(jnp.abs(v[..., None] - table))
+            return table[jnp.argmin(d2, axis=-1)]
+
+        def adapt_fn(carry, inp):
+            ema, var, prev, w, P = carry
+            y_s, _ = inp
+            h2 = jnp.square(jnp.abs(w))
+            denom = jnp.maximum(h2 + noise_var[..., None], 1e-10)
+            eq_s = y_s * jnp.conj(w) / denom
+            nv_s = jnp.clip(noise_var[..., None] / denom,
+                            MIN_CARRIER_NOISE_VAR, MAX_CARRIER_NOISE_VAR)
+            mag = jnp.abs(eq_s)
+            delta = mag - ema
+            ema_n = ema + MAG_EMA_ALPHA * delta
+            var_n = var + MAG_EMA_ALPHA * (delta * delta - var)
+            norm_var = var / jnp.maximum(ema * ema, 1e-6)
+            nv_eff = nv_s * ce_margin * (1.0 + CARRIER_ADAPTIVE_K * norm_var)
+            llr = _demap(mod, eq_s, prev, nv_eff)
+            dec = hard_decision(eq_s)
+            errv = y_s - w * dec
+            if cfg.adaptive_rls:
+                ref_norm = jnp.square(jnp.abs(dec))
+                k = P / (cfg.rls_lambda + P * ref_norm)
+                w_n = w + k * jnp.conj(dec) * errv
+                P_n = jnp.clip((P - k * ref_norm * P) / cfg.rls_lambda, 1e-3, 1e3)
+            else:
+                w_n = w + cfg.lms_mu * jnp.conj(dec) * errv
+                P_n = P
+            return (ema_n, var_n, eq_s, w_n, P_n), llr
+
+        y_t = jnp.moveaxis(Yd, -2, 0)
+        w0 = jnp.broadcast_to(H_data, y_t[0].shape).astype(jnp.complex64)
+        P0 = jnp.ones(y_t[0].shape, jnp.float32)
+        ema0 = jnp.abs(y_t[0] * jnp.conj(w0)
+                       / jnp.maximum(jnp.square(jnp.abs(w0)) + noise_var[..., None], 1e-10))
+        var0 = jnp.zeros_like(ema0)
+        prev0 = jnp.ones_like(y_t[0])
+        (_, _, _, _, _), llrs = jax.lax.scan(
+            adapt_fn, (ema0, var0, prev0, w0, P0), (y_t, jnp.moveaxis(carrier_nv, -2, 0)))
+        llrs = jnp.moveaxis(llrs, 0, -3)
+        soft = llrs.reshape(llrs.shape[:-3] + (S * D * BITS_PER_SYMBOL[mod],))
+        h_mag = jnp.abs(H_data)
+        mean_h = jnp.mean(h_mag, axis=-1)
+        fading = jnp.where(mean_h > 1e-9,
+                           jnp.std(h_mag, axis=-1) / jnp.maximum(mean_h, 1e-9), 0.0)
+        snr_db = 10.0 * jnp.log10(jnp.maximum(avg_h_power[..., 0] / noise_var, 1e-6))
+        return OFDMDemodResult(soft_bits=soft, snr_db=snr_db, noise_var=noise_var,
+                               fading_index=fading, channel_mag=h_mag)
 
     eq_t = jnp.moveaxis(eq, -2, 0)          # [S, ..., D]
     nv_t = jnp.moveaxis(carrier_nv, -2, 0)

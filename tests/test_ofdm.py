@@ -108,3 +108,23 @@ def test_dbpsk_mode():
     ok, decoded, _, _ = _loopback(cfg, "R1_2", payload, 12.0)
     assert ok
     assert decoded == payload
+
+
+def test_d8psk_mode():
+    """D8PSK with the two-pass decode path compiled in."""
+    cfg = OFDMConfig(modulation="D8PSK", use_pilots=True, pilot_spacing=8)
+    payload = bytes(range(40))
+    ok, decoded, _, _ = _loopback(cfg, "R1_2", payload, 18.0)
+    assert ok
+    assert decoded == payload
+
+
+def test_adaptive_equalizer_lms_rls():
+    """LMS/RLS decision-directed equalizer on coherent QPSK."""
+    for rls in (False, True):
+        cfg = OFDMConfig(modulation="QPSK", use_pilots=True, pilot_spacing=5,
+                         adaptive_eq=True, adaptive_rls=rls)
+        payload = bytes(range(60))
+        ok, decoded, _, _ = _loopback(cfg, "R1_2", payload, 20.0, seed=4 + rls)
+        assert ok, f"adaptive eq rls={rls} failed"
+        assert decoded == payload
