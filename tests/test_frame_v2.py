@@ -108,3 +108,23 @@ def test_modem_control_frame_roundtrip():
     assert rx.ok
     g = ControlFrame.deserialize(rx.frame_bytes)
     assert g is not None and g.type == FrameType.ACK and g.seq == 42
+
+
+def test_legacy_v1_frame_roundtrip():
+    from ria_tpu.phy.legacy_v1 import V1FrameType, build_frame, parse_frame, V1ARQ
+
+    f = build_frame(V1FrameType.DATA, 7, b"legacy payload")
+    g = parse_frame(f)
+    assert g is not None and g.seq == 7 and g.payload == b"legacy payload"
+    bad = bytearray(f)
+    bad[10] ^= 0xFF
+    assert parse_frame(bytes(bad)) is None
+
+    a, b = V1ARQ(), V1ARQ()
+    a.on_transmit = lambda fr: b.on_frame(fr)
+    b.on_transmit = lambda fr: a.on_frame(fr)
+    got = []
+    b.on_data = lambda p: got.append(p)
+    assert a.send(b"v1 hello")
+    assert got == [b"v1 hello"]
+    assert a._pending is None  # acked
