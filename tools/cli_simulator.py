@@ -1,0 +1,136 @@
+"""Full-protocol dual-station simulator CLI (reference tools/cli_simulator.cpp).
+
+Two complete modem stacks joined by seeded Watterson channels run a full
+PING -> CONNECT -> [MODE_CHANGE] -> DATA xN -> [FILE] -> DISCONNECT session
+and assert delivery.  The reference's acceptance criterion is
+"N/N seeds pass" — use --seeds for a sweep.
+
+Usage examples:
+  python tools/cli_simulator.py --snr 12 --channel awgn
+  python tools/cli_simulator.py --snr 20 --channel good --seeds 5
+  python tools/cli_simulator.py --snr 22 --waveform OFDM_CHIRP --mod DQPSK --rate R1_2
+  python tools/cli_simulator.py --snr 15 --file --save-signals /tmp/cap
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def run_session(args, seed: int) -> dict:
+    from ria_tpu.phy.frame_v2 import WaveformMode
+    from ria_tpu.protocol.connection import ConnectionConfig, ConnectionState
+    from ria_tpu.sim import PRESETS
+    from ria_tpu.sim.simulator import DualStationSim
+
+    channel = PRESETS[args.channel](args.snr)
+    cfg_a = ConnectionConfig()
+    cfg_b = ConnectionConfig()
+    if args.waveform != "AUTO":
+        cfg_a.preferred_mode = WaveformMode[args.waveform]
+    if args.mod != "AUTO":
+        cfg_a.forced_modulation = args.mod
+    if args.rate != "AUTO":
+        cfg_a.forced_rate = args.rate
+
+    sim = DualStationSim(channel, seed=seed, config_a=cfg_a, config_b=cfg_b,
+                         save_signals=args.save_signals)
+    result = {"seed": seed, "connected": False, "messages": 0, "file_ok": False,
+              "disconnected": False, "retransmissions": 0}
+    got_b, got_a = [], []
+    sim.bravo.conn.on_message = lambda d: got_b.append(d)
+    sim.alpha.conn.on_message = lambda d: got_a.append(d)
+
+    t0 = time.time()
+    assert sim.alpha.conn.connect("BRAVO")
+    if not sim.run_until(sim.both_connected, max_ticks=300):
+        print(f"  seed {seed}: CONNECT FAILED "
+              f"(A={sim.alpha.conn.state.name} B={sim.bravo.conn.state.name})")
+        sim.close()
+        return result
+    result["connected"] = True
+    link = sim.alpha.conn.link
+    print(f"  seed {seed}: connected in {sim.ticks * sim.block_ms / 1000:.1f}s virtual "
+          f"-> {link.waveform.name} {link.modulation} {link.rate}"
+          + (f" spread{link.spreading}x" if link.spreading > 1 else ""))
+
+    for i in range(args.num_messages):
+        msg = f"test message {i} through the ionosphere".encode()
+        sim.alpha.conn.send_message(msg)
+        if sim.run_until(lambda: len(got_b) > i, max_ticks=sim.ticks + 200):
+            result["messages"] += 1
+        else:
+            break
+
+    if args.file:
+        from ria_tpu.protocol.engine import ProtocolEngine  # noqa: F401 (doc)
+        # File transfer rides DATA frames through the stations' connections.
+        payload = bytes(range(256)) * 4
+        from ria_tpu.protocol.file_transfer import FileTransferController
+
+        ftc_tx = FileTransferController(chunk_payload=sim.alpha.conn.message_capacity())
+        ftc_rx = FileTransferController()
+        done = []
+        ftc_rx.on_received = lambda name, data, ok: done.append((name, data, ok))
+        orig = sim.bravo.conn.on_message
+        sim.bravo.conn.on_message = lambda d: (ftc_rx.process_payload(d)
+                                               or (orig and orig(d)))
+        ftc_tx.start_send("sim.bin", payload)
+        while ftc_tx.has_more_chunks():
+            # Wait for an open ARQ slot BEFORE pulling the next chunk — a
+            # send while busy would silently drop it.
+            if not sim.run_until(lambda: sim.alpha.conn.arq.is_ready_to_send(),
+                                 max_ticks=sim.ticks + 200):
+                break
+            chunk = ftc_tx.next_chunk()
+            if chunk is None:
+                break
+            sim.alpha.conn.send_message(chunk)
+        sim.run_until(lambda: bool(done), max_ticks=sim.ticks + 100)
+        result["file_ok"] = bool(done and done[0][2] and done[0][1] == payload)
+
+    sim.alpha.conn.disconnect()
+    sim.run_until(lambda: sim.bravo.conn.state == ConnectionState.DISCONNECTED,
+                  max_ticks=sim.ticks + 100)
+    result["disconnected"] = sim.bravo.conn.state == ConnectionState.DISCONNECTED
+    result["retransmissions"] = sim.alpha.conn.arq.stats.retransmissions
+    result["chase"] = sim.bravo.chase.stats.recoveries
+    print(f"  seed {seed}: {result['messages']}/{args.num_messages} msgs, "
+          f"retx={result['retransmissions']}, chase_recoveries={result['chase']}, "
+          f"disconnect={'clean' if result['disconnected'] else 'DIRTY'}, "
+          f"{time.time() - t0:.1f}s wall")
+    sim.close()
+    return result
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--snr", type=float, default=12.0)
+    ap.add_argument("--channel", choices=["awgn", "good", "moderate", "poor", "flutter"],
+                    default="awgn")
+    ap.add_argument("--waveform", default="AUTO")
+    ap.add_argument("--mod", default="AUTO")
+    ap.add_argument("--rate", default="AUTO")
+    ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--seed-base", type=int, default=42)
+    ap.add_argument("--num-messages", type=int, default=2)
+    ap.add_argument("--file", action="store_true")
+    ap.add_argument("--save-signals", default=None)
+    args = ap.parse_args(argv)
+
+    print(f"cli_simulator: {args.channel} @ {args.snr} dB, "
+          f"waveform={args.waveform}, {args.seeds} seed(s)")
+    passed = 0
+    for s in range(args.seeds):
+        r = run_session(args, args.seed_base + s)
+        ok = (r["connected"] and r["messages"] == args.num_messages
+              and r["disconnected"] and (not args.file or r["file_ok"]))
+        passed += ok
+    print(f"RESULT: {passed}/{args.seeds} seeds passed")
+    return 0 if passed == args.seeds else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
