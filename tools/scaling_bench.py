@@ -1,0 +1,86 @@
+"""Multi-device scaling of the sharded RX pipeline.
+
+Runs the (ch x cw)-sharded batch RX step on 1/2/4/8 devices and reports
+throughput.  On a real pod slice each device is a chip and the numbers give
+scaling efficiency; on a single host with
+--xla_force_host_platform_device_count the run validates that the sharded
+program compiles + executes and that work distributes (absolute CPU numbers
+are not chip numbers).
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/scaling_bench.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from ria_tpu.parallel.mesh import make_mesh, make_sharded_rx
+    from ria_tpu.sync.chirp import ChirpConfig
+    from ria_tpu.wave.mc_dpsk import MCDPSKConfig
+    from ria_tpu.fec.ldpc import make_encoder
+    from ria_tpu.fec.ldpc_matrix import get_code
+    from ria_tpu.phy.pipeline import make_tx_pipeline
+
+    n_avail = len(jax.devices())
+    print(f"devices available: {n_avail} ({jax.devices()[0].platform})")
+
+    # Small geometry on CPU meshes (compile cost); pass --full on real chips.
+    import sys
+
+    full = "--full" in sys.argv
+    if full:
+        cfg = MCDPSKConfig(num_carriers=10, bits_per_symbol=1)
+        ncw, per_dev = 4, 16
+    else:
+        chirp = ChirpConfig(duration_ms=10.0, gap_ms=2.0)
+        cfg = MCDPSKConfig(num_carriers=4, samples_per_symbol=128,
+                           bits_per_symbol=2, training_symbols=4, chirp=chirp)
+        ncw, per_dev = 2, 8
+    nb = ncw * 648
+    window = cfg.frame_samples(nb) + 4000
+
+    rng = np.random.default_rng(0)
+    code = get_code("R1_4")
+
+    results = []
+    n = 1
+    while n <= n_avail:
+        B = per_dev * n
+        info = rng.integers(0, 2, (B * ncw, code.k)).astype(np.uint8)
+        coded = np.asarray(make_encoder("R1_4")(info)).reshape(B, nb)
+        tx = np.asarray(make_tx_pipeline(cfg, ncw)(coded))
+        audio = np.zeros((B, window), np.float32)
+        audio[:, 1000 : 1000 + tx.shape[1]] = tx[:, : window - 1000]
+        rms = float(np.sqrt(np.mean(tx**2)))
+        audio += rng.normal(0, rms * 10 ** (-10 / 20), audio.shape).astype(np.float32)
+
+        mesh = make_mesh(n)
+        rx = make_sharded_rx(mesh, cfg, "R1_4", ncw, window)
+        with mesh:
+            out = rx(audio)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            iters = 5
+            for _ in range(iters):
+                out = rx(audio)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / iters
+        sps = B * window / dt
+        ok = float(np.asarray(out.cw_success).mean())
+        results.append((n, sps))
+        eff = sps / (results[0][1] * n) if results[0][1] else 0.0
+        print(f"devices={n}  batch={B}  {dt*1e3:8.2f} ms  {sps/1e6:8.1f} Msamp/s  "
+              f"scaling-eff={eff:5.2f}  decode={ok:.2f}")
+        n *= 2
+
+
+if __name__ == "__main__":
+    main()
