@@ -190,7 +190,13 @@ class StopAndWaitARQ(_ARQBase):
 
 
 class SelectiveRepeatARQ(_ARQBase):
-    """Sliding-window ARQ used for OFDM (selective_repeat_arq.cpp)."""
+    """Sliding-window ARQ used for OFDM (selective_repeat_arq.cpp).
+
+    Reference semantics carried over: delayed SACK (ack after sack_delay_ms
+    or when the reorder buffer pressures, acknowledging the highest in-order
+    seq cumulatively, with a NACK bitmap for holes), adaptive RTT-based ACK
+    timeout, and ACK repetition x1-3 under fading.
+    """
 
     mode = ARQMode.SELECTIVE_REPEAT
 
@@ -200,6 +206,13 @@ class SelectiveRepeatARQ(_ARQBase):
         self.rx_buffer: dict[int, tuple[bytes, int]] = {}
         self.rx_next_seq = 0
         self.delivered: set[int] = set()
+        # Delayed-SACK state
+        self._sack_timer = -1   # -1 = no pending sack
+        self._sack_src_hash = 0
+        self.ack_repeat = 1     # 1..3, raised by the engine under fading
+        # Adaptive RTT (EMA) -> ack timeout
+        self._rtt_ema_ms = float(self.config.ack_timeout_ms) / 2.0
+        self._time_ms = 0
 
     # --- TX ---
     def is_ready_to_send(self) -> bool:
@@ -214,33 +227,85 @@ class SelectiveRepeatARQ(_ARQBase):
         seq = self.tx_seq
         self.tx_seq = (self.tx_seq + 1) & 0xFFFF
         frame = self._make_data_frame(seq, payload, flags_extra)
-        self.window[seq] = _TxSlot(seq=seq, frame_bytes=frame)
+        slot = _TxSlot(seq=seq, frame_bytes=frame)
+        slot.timer_ms = 0
+        self.window[seq] = slot
         self.stats.frames_sent += 1
         self._tx(frame)
         return True
+
+    @property
+    def _ack_timeout_ms(self) -> int:
+        """Adaptive: 2x RTT EMA, clamped to [1/4, 1x] of the configured max."""
+        lo = self.config.ack_timeout_ms // 4
+        return int(min(max(2.0 * self._rtt_ema_ms, lo), self.config.ack_timeout_ms))
+
+    def _complete_upto(self, seq: int):
+        """Cumulative ACK: complete every window slot <= seq (mod window)."""
+        for s in [s for s in self.window if s <= seq]:
+            slot = self.window.pop(s)
+            rtt = max(slot.timer_ms, 1)
+            self._rtt_ema_ms = 0.875 * self._rtt_ema_ms + 0.125 * rtt
+            if self.on_send_complete:
+                self.on_send_complete(True)
+
+    def _send_sack(self):
+        """ACK highest in-order seq (cumulative) + NACK bitmap for holes."""
+        self._sack_timer = -1
+        highest = (self.rx_next_seq - 1) & 0xFFFF
+        ack = ControlFrame.make_ack(self.local_call, self._sack_src_hash, highest)
+        self.stats.acks_sent += 1
+        self.stats.sacks_sent = getattr(self.stats, "sacks_sent", 0) + 1
+        for _ in range(max(1, min(3, self.ack_repeat))):
+            self._tx(ack.serialize())
+        if self.rx_buffer:
+            bitmap = 0
+            for s in self.rx_buffer:
+                off = s - self.rx_next_seq
+                if 0 <= off < 32:
+                    bitmap |= 1 << off
+            # Holes = positions NOT in the buffer before the highest buffered.
+            span = max(self.rx_buffer) - self.rx_next_seq + 1
+            holes = (~bitmap) & ((1 << min(span, 32)) - 1)
+            if holes:
+                nack = ControlFrame.make_nack(self.local_call, self._sack_src_hash,
+                                              self.rx_next_seq, holes)
+                self._tx(nack.serialize())
 
     # --- RX ---
     def on_frame_received(self, frame_bytes: bytes):
         ctrl = ControlFrame.deserialize(frame_bytes)
         if ctrl is not None and ctrl.type == FrameType.ACK:
             self.stats.acks_received += 1
-            slot = self.window.pop(ctrl.seq, None)
-            if slot is not None and self.on_send_complete:
-                self.on_send_complete(True)
+            self._complete_upto(ctrl.seq)
             return
         if ctrl is not None and ctrl.type == FrameType.NACK:
             nack = NackPayload.decode(ctrl.payload)
-            slot = self.window.get(nack.frame_seq)
-            if slot is not None:
-                slot.retries += 1
-                slot.timer_ms = 0
-                self.stats.retransmissions += 1
-                self._tx(slot.frame_bytes)
+            # Bitmap of missing frames relative to base seq; bit 0 = base.
+            base = nack.frame_seq
+            for off in range(32):
+                if nack.cw_bitmap == 0:
+                    # Legacy per-frame NACK (no bitmap): retransmit base.
+                    targets = [base]
+                else:
+                    if not (nack.cw_bitmap >> off) & 1:
+                        continue
+                    targets = [base + off]
+                for t in targets:
+                    slot = self.window.get(t & 0xFFFF)
+                    if slot is not None and slot.retries < self.config.max_retries:
+                        slot.retries += 1
+                        slot.timer_ms = 0
+                        self.stats.retransmissions += 1
+                        self._tx(slot.frame_bytes)
+                if nack.cw_bitmap == 0:
+                    break
             return
         df = DataFrame.deserialize(frame_bytes)
         if df is None or not (0x30 <= int(df.type) <= 0x33):
             return
         self.stats.frames_received += 1
+        self._sack_src_hash = df.src_hash
         if df.seq in self.delivered:
             self.stats.duplicates += 1
         else:
@@ -257,16 +322,24 @@ class SelectiveRepeatARQ(_ARQBase):
             while len(self.rx_buffer) > self.config.rx_buffer_size:
                 oldest = min(self.rx_buffer)
                 del self.rx_buffer[oldest]
-        ack = ControlFrame.make_ack(self.local_call, df.src_hash, df.seq)
-        self.stats.acks_sent += 1
-        self._tx(ack.serialize())
+        # Delayed SACK: batch acknowledgements so a burst is covered by one
+        # cumulative ACK (+hole NACK).  Out-of-order arrivals flush sooner.
+        if self._sack_timer < 0:
+            self._sack_timer = 0
+        if self.rx_buffer and len(self.rx_buffer) >= self.config.window_size - 1:
+            self._send_sack()
 
     # --- timing ---
     def tick(self, elapsed_ms: int):
+        self._time_ms += elapsed_ms
+        if self._sack_timer >= 0:
+            self._sack_timer += elapsed_ms
+            if self._sack_timer >= self.config.sack_delay_ms:
+                self._send_sack()
         failed = []
         for slot in self.window.values():
             slot.timer_ms += elapsed_ms
-            if slot.timer_ms >= self.config.ack_timeout_ms:
+            if slot.timer_ms >= self._ack_timeout_ms:
                 slot.timer_ms = 0
                 if slot.retries >= self.config.max_retries:
                     failed.append(slot.seq)

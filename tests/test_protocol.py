@@ -60,7 +60,10 @@ def test_selective_repeat_window_and_order():
     for i in range(4):
         assert a.send_data(f"msg{i}".encode())
     assert got == [b"msg0", b"msg1", b"msg2", b"msg3"]
+    # Delayed SACK: the cumulative ACK flushes after sack_delay ticks.
+    b.tick(b.config.sack_delay_ms)
     assert a.available_slots() == 4
+    assert b.stats.acks_sent >= 1
 
 
 def test_selective_repeat_reorder_delivery():
@@ -233,3 +236,48 @@ def test_mfsk_connect_fallback_switch():
     assert len(st.tx_queue) == 1
     mfsk_len = len(st.tx_queue[0])
     assert mfsk_len > MFSKWaveform().frame_samples(2)  # > 2-CW MFSK budget floor / 2
+
+
+def test_selective_repeat_sack_hole_nack():
+    """Out-of-order burst: SACK carries hole bitmap, TX retransmits it."""
+    from ria_tpu.phy.frame_v2 import DataFrame
+
+    a, b = SelectiveRepeatARQ(), SelectiveRepeatARQ()
+    a.set_callsigns("W1AW", "VE3ABC")
+    b.set_callsigns("VE3ABC", "W1AW")
+    drop = {1}
+    def lossy(fb):
+        f = DataFrame.deserialize(fb)
+        if f is not None and 0x30 <= int(f.type) <= 0x33 and f.seq in drop:
+            drop.discard(f.seq)
+            return
+        b.on_frame_received(fb)
+    a.on_transmit = lossy
+    b.on_transmit = lambda fb: a.on_frame_received(fb)
+    got = []
+    b.on_data = lambda p, f: got.append(p)
+    for i in range(3):
+        a.send_data(f"m{i}".encode())
+    assert got == [b"m0"]  # m1 lost, m2 buffered
+    b.tick(b.config.sack_delay_ms)  # SACK: cum-ack 0 + hole bitmap for seq1
+    assert got == [b"m0", b"m1", b"m2"], got
+    assert a.stats.retransmissions == 1
+
+
+def test_selective_repeat_adaptive_rtt():
+    a = SelectiveRepeatARQ()
+    a.set_callsigns("W1AW", "VE3ABC")
+    sent = []
+    a.on_transmit = lambda fb: sent.append(fb)
+    a.send_data(b"x")
+    # Simulate a fast ACK after 500ms; RTT EMA should drop the timeout.
+    before = a._ack_timeout_ms
+    from ria_tpu.phy.frame_v2 import ControlFrame, hash_callsign
+    a.tick(500)
+    a.on_frame_received(ControlFrame.make_ack("VE3ABC", hash_callsign("W1AW"), 0).serialize())
+    for _ in range(10):
+        a.send_data(b"y")
+        a.tick(500)
+        a.on_frame_received(ControlFrame.make_ack("VE3ABC", hash_callsign("W1AW"),
+                                                  a.tx_seq - 1).serialize())
+    assert a._ack_timeout_ms < before
