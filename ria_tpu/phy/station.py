@@ -88,6 +88,13 @@ class Station:
         return self._mfsk_wf
 
     def _on_conn_transmit(self, frame_bytes: bytes, handshake: bool):
+        # Beacons ride MC-DPSK with 4x spreading for maximum range
+        # (ModemEngine::transmitBeacon, modem_engine.hpp:76-80).
+        if len(frame_bytes) >= 3 and frame_bytes[2] == 0x40:
+            wf = MCDPSKWaveform(modulation="DBPSK", rate="R1_4", spreading=4)
+            self.tx_queue.append(np.asarray(wf.tx_frame(frame_bytes), np.float32))
+            self.stats.frames_tx += 1
+            return
         if handshake or self.conn.state != ConnectionState.CONNECTED:
             # After the DPSK budget, handshake frames ride the MFSK
             # last-resort waveform (connection.hpp:29-33).
@@ -198,6 +205,13 @@ class Station:
             return
 
         rx = wf.rx_frame(self.rx_buffer, light=light, chase=self.chase)
+        if not rx.ok and not connected and sync["kind"] == "chirp":
+            # Beacons are 4x-spread MC-DPSK; retry the chirp frame with the
+            # spread demod profile before giving up on this sync.
+            bwf = MCDPSKWaveform(modulation="DBPSK", rate="R1_4", spreading=4)
+            brx = bwf.rx_frame(self.rx_buffer, light=False)
+            if brx.ok:
+                rx, wf = brx, bwf
         if rx.ok:
             ncw = 1 if rx.header["is_control"] else max(1, rx.header["total_cw"])
             self._consume(rx.start_sample + self._frame_body_samples(wf, ncw, rx.header["is_control"]))

@@ -106,6 +106,8 @@ class Connection:
         self.on_message_sent: Callable[[bool], None] | None = None
         self.on_mode_changed: Callable[[LinkMode], None] | None = None
         self.on_beacon: Callable[[int, bytes], None] | None = None
+        self.on_incoming_call: Callable[[str], None] | None = None
+        self._pending_connect: ConnectFrame | None = None
 
         self.arq = create_arq(ARQMode.STOP_AND_WAIT, self.config.arq)
         self._wire_arq()
@@ -159,6 +161,33 @@ class Connection:
         self._tx(f.serialize(), handshake=False)
         self.stats.disconnects += 1
         self._enter_disconnected("local disconnect")
+
+    def abort_tx_now(self):
+        """Drop all pending TX state immediately (Connection::abortTxNow)."""
+        self.arq.reset()
+        self._rx_fragments = []
+
+    def accept_call(self):
+        """Accept a pending incoming CONNECT when auto_accept is off."""
+        if self._pending_connect is not None:
+            req = self._pending_connect
+            self._pending_connect = None
+            self._accept_connect(req)
+
+    def reject_call(self):
+        if self._pending_connect is not None:
+            req = self._pending_connect
+            self._pending_connect = None
+            f = ConnectFrame(type=FrameType.CONNECT_NAK, src_callsign=self.local_call,
+                             dst_callsign=req.src_callsign)
+            self._tx(f.serialize(), handshake=True)
+
+    def send_messages(self, texts: list[bytes | str]) -> bool:
+        """Batch send (reference sendMessages: burst-friendly fan-out)."""
+        ok = True
+        for t in texts:
+            ok &= self.send_message(t)
+        return ok
 
     def send_beacon(self, payload: bytes = b""):
         f = ControlFrame.make_beacon(self.local_call)
@@ -320,10 +349,15 @@ class Connection:
         if self.state not in (ConnectionState.DISCONNECTED, ConnectionState.PROBING):
             return
         if not self.config.auto_accept:
-            f = ConnectFrame(type=FrameType.CONNECT_NAK, src_callsign=self.local_call,
-                             dst_callsign=req.src_callsign)
-            self._tx(f.serialize(), handshake=True)
+            # Park the request for the operator; accept_call()/reject_call()
+            # resolve it (reference incoming-call flow).
+            self._pending_connect = req
+            if self.on_incoming_call:
+                self.on_incoming_call(req.src_callsign)
             return
+        self._accept_connect(req)
+
+    def _accept_connect(self, req: ConnectFrame):
         self.remote_call = req.src_callsign
         self.remote_hash = hash_callsign(req.src_callsign)
         self.is_initiator = False

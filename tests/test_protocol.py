@@ -281,3 +281,57 @@ def test_selective_repeat_adaptive_rtt():
         a.on_frame_received(ControlFrame.make_ack("VE3ABC", hash_callsign("W1AW"),
                                                   a.tx_seq - 1).serialize())
     assert a._ack_timeout_ms < before
+
+
+def test_manual_accept_reject_flow():
+    """auto_accept off: incoming CONNECT parks until accept/reject."""
+    from ria_tpu.protocol.connection import Connection, ConnectionConfig
+    from ria_tpu.phy.frame_v2 import ConnectFrame, FrameType
+
+    cfg = ConnectionConfig(auto_accept=False)
+    c = Connection(cfg)
+    c.set_local_callsign("VE3ABC")
+    sent = []
+    c.on_transmit = lambda fb, hs: sent.append(fb)
+    calls = []
+    c.on_incoming_call = lambda who: calls.append(who)
+
+    req = ConnectFrame(type=FrameType.CONNECT, src_callsign="W1AW",
+                       dst_callsign="VE3ABC", mode_capabilities=0x3F)
+    c.on_frame_received(req.serialize())
+    assert calls == ["W1AW"]
+    assert c.state == ConnectionState.DISCONNECTED
+    assert not sent  # nothing sent yet
+
+    c.accept_call()
+    assert c.state == ConnectionState.CONNECTED
+    ack = ConnectFrame.deserialize(sent[-1])
+    assert ack is not None and ack.type == FrameType.CONNECT_ACK
+
+    # reject path
+    c2 = Connection(ConnectionConfig(auto_accept=False))
+    c2.set_local_callsign("VE3ABC")
+    sent2 = []
+    c2.on_transmit = lambda fb, hs: sent2.append(fb)
+    c2.on_frame_received(req.serialize())
+    c2.reject_call()
+    nak = ConnectFrame.deserialize(sent2[-1])
+    assert nak is not None and nak.type == FrameType.CONNECT_NAK
+
+
+def test_beacon_broadcast_4x_spreading():
+    """Beacon TX rides 4x-spread MC-DPSK; receiver decodes and reports it."""
+    sim = DualStationSim(awgn(0.0), seed=33)  # low SNR: spreading earns its keep
+    heard = []
+    sim.bravo.conn.on_beacon = lambda h, p: heard.append((h, p))
+    sim.alpha.conn.set_local_callsign("W1AW")
+    # Beacons are periodic broadcasts; resend a few times (a rare undetected
+    # LDPC error in one copy is caught by the frame CRC and dropped).
+    for _ in range(3):
+        sim.alpha.conn.send_beacon(b"CQ CQ")
+        if sim.run_until(lambda: bool(heard), max_ticks=sim.ticks + 60):
+            break
+    assert heard, "beacon not heard"
+    from ria_tpu.phy.frame_v2 import hash_callsign
+    assert heard[0][0] == hash_callsign("W1AW")
+    assert heard[0][1].rstrip(b"\x00") == b"CQ CQ"
