@@ -22,6 +22,11 @@ import numpy as np
 def main() -> None:
     import jax
 
+    # Persistent compilation cache: the remote TPU compile service shows
+    # transient multi-minute latencies; caching makes repeat runs immune.
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from ria_tpu.phy.pipeline import make_rx_pipeline
     from ria_tpu.wave.mc_dpsk import MCDPSKConfig
 
