@@ -107,6 +107,7 @@ class Connection:
         self.on_mode_changed: Callable[[LinkMode], None] | None = None
         self.on_beacon: Callable[[int, bytes], None] | None = None
         self.on_incoming_call: Callable[[str], None] | None = None
+        self.on_probe_report = None
         self._pending_connect: ConnectFrame | None = None
 
         self.arq = create_arq(ARQMode.STOP_AND_WAIT, self.config.arq)
@@ -192,6 +193,14 @@ class Connection:
     def send_beacon(self, payload: bytes = b""):
         f = ControlFrame.make_beacon(self.local_call)
         f.payload = payload[:6].ljust(6, b"\x00")
+        self._tx(f.serialize(), handshake=True)
+
+    def send_probe(self, remote_call: str):
+        """Channel probe request; the peer answers PROBE_ACK with a
+        ChannelReport (snr/delay/doppler/recommended mode)."""
+        f = ControlFrame(type=FrameType.PROBE, seq=self._next_ctrl_seq(),
+                         src_hash=hash_callsign(self.local_call),
+                         dst_hash=hash_callsign(remote_call))
         self._tx(f.serialize(), handshake=True)
 
     # ------------------------------------------------------------ messaging
@@ -336,6 +345,31 @@ class Connection:
                 self._handle_mode_change(ctrl)
                 return
             if ctrl.type == FrameType.KEEPALIVE:
+                return
+            if ctrl.type == FrameType.PROBE:
+                # Answer with the measured channel report
+                # (reference ProbeAck + ChannelReport wire format).
+                from ria_tpu.phy.channel_probe import ChannelReport
+                from ria_tpu.wave.selection import recommend_waveform_and_rate
+
+                rec = recommend_waveform_and_rate(self.measured_snr_db,
+                                                  self.measured_fading)
+                report = ChannelReport(snr_db=self.measured_snr_db,
+                                       delay_spread_ms=0.0,
+                                       doppler_spread_hz=0.0,
+                                       recommended_mode=int(rec.waveform),
+                                       capabilities=self.config.mode_capabilities & 0xFF)
+                ack = ControlFrame(type=FrameType.PROBE_ACK, seq=ctrl.seq,
+                                   src_hash=hash_callsign(self.local_call),
+                                   dst_hash=ctrl.src_hash,
+                                   payload=report.encode().ljust(6, b"\x00"))
+                self._tx(ack.serialize(), handshake=True)
+                return
+            if ctrl.type == FrameType.PROBE_ACK:
+                if self.on_probe_report:
+                    from ria_tpu.phy.channel_probe import ChannelReport
+
+                    self.on_probe_report(ChannelReport.decode(ctrl.payload))
                 return
             if ctrl.type in (FrameType.ACK, FrameType.NACK):
                 if ctrl.seq == 0xFFFF:

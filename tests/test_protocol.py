@@ -335,3 +335,21 @@ def test_beacon_broadcast_4x_spreading():
     from ria_tpu.phy.frame_v2 import hash_callsign
     assert heard[0][0] == hash_callsign("W1AW")
     assert heard[0][1].rstrip(b"\x00") == b"CQ CQ"
+
+
+def test_probe_channel_report():
+    from ria_tpu.protocol.connection import Connection
+
+    a, b = Connection(), Connection()
+    a.set_local_callsign("W1AW"); b.set_local_callsign("VE3ABC")
+    a.on_transmit = lambda fb, hs: b.on_frame_received(fb)
+    b.on_transmit = lambda fb, hs: a.on_frame_received(fb)
+    b.measured_snr_db = 18.5
+    b.measured_fading = 0.1
+    reports = []
+    a.on_probe_report = lambda r: reports.append(r)
+    a.send_probe("VE3ABC")
+    assert reports, "no probe report"
+    r = reports[0]
+    assert abs(r.snr_db - 18.5) < 0.3
+    assert r.recommended_mode == 5  # OFDM_CHIRP for 18.5 dB AWGN-ish
