@@ -6,10 +6,15 @@ tile exits as soon as ITS codewords converge — decoupling stragglers at
 tile granularity instead of stalling the whole batch (the XLA while_loop
 exits only when every codeword in the call is done).
 
+Mosaic-friendly layout: the edge dimension is unrolled into D per-degree
+slots, each with its own one-hot [m, n] gather matrix, so every tensor in
+the kernel is 2D (<=128 x 648 / 648 x 486) — Mosaic cannot lower 2D->3D
+lane reshapes, and large static gathers segfault this toolchain, so both
+are avoided: gather/scatter are MXU dots, reductions over the degree axis
+are elementwise chains across the D slot buffers.
+
 Numeric contract identical to ria_tpu.fec.ldpc.make_decoder: normalized
-min-sum (factor 0.75/0.9375), clamp +/-50, hard-decision parity early exit,
-positive LLR => bit 0.  The edge gather/scatter uses the same static one-hot
-matrix as MXU dots (large static gathers segfault this TPU toolchain).
+min-sum, clamp +/-50, hard-decision parity early exit, positive LLR => bit 0.
 """
 
 from __future__ import annotations
@@ -27,6 +32,8 @@ from ria_tpu.fec.ldpc_matrix import (
     LLR_CLAMP, MIN_SUM_FACTOR, RECOMMENDED_ITERS, get_code,
 )
 
+_BIG = 1e9
+
 
 @functools.lru_cache(maxsize=None)
 def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None,
@@ -36,71 +43,106 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
     if max_iters is None:
         max_iters = RECOMMENDED_ITERS[rate]
     m, n, k, D = code.m, code.n, code.k, code.max_degree
-    mD = m * D
-    gather = code.gather.astype(np.float32)      # [mD, n]
-    mask = code.row_mask                         # [m, D]
 
-    def kernel(llr_ref, gather_ref, gather_t_ref, mask_ref, out_llr_ref,
-               out_ok_ref, out_iters_ref):
-        llr_in = llr_ref[:]                      # [T, n]
-        G = gather_ref[:]                        # [mD, n]
-        GT = gather_t_ref[:]                     # [n, mD]
+    # Per-degree-slot one-hot gathers: G[d][check, var] = 1 when edge slot d
+    # of that check connects to var.
+    G = np.zeros((D, m, n), np.float32)
+    for i in range(m):
+        for d in range(D):
+            if code.row_mask[i, d]:
+                G[d, i, code.row_idx[i, d]] = 1.0
+    GT = np.ascontiguousarray(np.swapaxes(G, 1, 2))  # [D, n, m]
+    # bf16 one-hots: fp32 G+GT would need 17.6 MB of VMEM (> 16 MB); bf16
+    # halves that, and 0/1 values with fp32 accumulation stay exact.
+    G = G.astype(jnp.bfloat16)
+    GT = GT.astype(jnp.bfloat16)
+    slot_mask = code.row_mask.astype(np.float32)     # [m, D] -> pass as [D, m]
+    slot_mask_dm = np.ascontiguousarray(slot_mask.T)
+
+    def kernel(llr_ref, g_ref, gt_ref, mask_ref, out_llr_ref, out_ok_ref,
+               out_iters_ref):
+        llr_in = llr_ref[:]                          # [T, n]
         T = llr_in.shape[0]
-        maskb = (mask_ref[:] > 0.5)[None, :, :]  # [1, m, D]
+        masks = [mask_ref[d, :][None, :] > 0.5 for d in range(D)]  # [1, m] each
+
+        def gather_d(x, d):
+            # [T, n] @ [n, m] -> [T, m] (bf16 x bf16 -> fp32 accumulate)
+            return jnp.dot(x.astype(jnp.bfloat16), gt_ref[d],
+                           preferred_element_type=jnp.float32)
+
+        def scatter_sum(msgs):
+            # sum_d msgs[d] @ G[d]: [T, m] @ [m, n] -> [T, n]
+            acc = jnp.dot(msgs[0].astype(jnp.bfloat16), g_ref[0],
+                          preferred_element_type=jnp.float32)
+            for d in range(1, D):
+                acc = acc + jnp.dot(msgs[d].astype(jnp.bfloat16), g_ref[d],
+                                    preferred_element_type=jnp.float32)
+            return acc
 
         def check_update(v2c):
-            neg = jnp.where(maskb & (v2c < 0), 1.0, 0.0)
-            # Sign product via negative-count parity (reduce_prod is not
-            # lowerable in Pallas TPU).
-            neg_parity = jnp.sum(neg, axis=-1, keepdims=True) % 2.0
-            sign_prod = 1.0 - 2.0 * neg_parity
-            sgn = jnp.where(maskb & (v2c < 0), -1.0, 1.0)
-            absv = jnp.where(maskb, jnp.abs(v2c), jnp.inf)
-            min1 = jnp.min(absv, axis=-1, keepdims=True)
-            is_min = absv == min1
-            ties = jnp.sum(jnp.where(is_min, 1.0, 0.0), axis=-1, keepdims=True) > 1.0
-            min2 = jnp.min(jnp.where(is_min, jnp.inf, absv), axis=-1, keepdims=True)
-            # Tie-aware self-exclusion without argmin: a tied minimum edge
-            # still sees min1 from its twin.
-            excl = jnp.where(is_min, jnp.where(ties, min1, min2), min1)
-            return jnp.where(maskb, sign_prod * sgn * excl * min_sum_factor, 0.0)
+            absv = [jnp.where(masks[d], jnp.abs(v2c[d]), _BIG) for d in range(D)]
+            negs = [jnp.where(masks[d] & (v2c[d] < 0), 1.0, 0.0) for d in range(D)]
+            neg_sum = negs[0]
+            min1 = absv[0]
+            for d in range(1, D):
+                neg_sum = neg_sum + negs[d]
+                min1 = jnp.minimum(min1, absv[d])
+            sign_prod = 1.0 - 2.0 * (neg_sum % 2.0)
+            ties = jnp.zeros_like(min1)
+            for d in range(D):
+                ties = ties + jnp.where(absv[d] == min1, 1.0, 0.0)
+            min2 = jnp.full_like(min1, _BIG)
+            for d in range(D):
+                min2 = jnp.minimum(min2, jnp.where(absv[d] == min1, _BIG, absv[d]))
+            out = []
+            for d in range(D):
+                is_min = absv[d] == min1
+                excl = jnp.where(is_min, jnp.where(ties > 1.0, min1, min2), min1)
+                sgn = jnp.where(masks[d] & (v2c[d] < 0), -1.0, 1.0)
+                out.append(jnp.where(masks[d], sign_prod * sgn * excl
+                                     * min_sum_factor, 0.0))
+            return out
 
-        def parity_ok(llr_total):
+        def parity_ok_f(llr_total):
+            """[T,1] float flag (1.0 = all checks satisfied); bool vectors
+            with minor-dim insertion are not lowerable, so everything stays
+            2D float with keepdims reductions."""
             hard = (llr_total < 0).astype(jnp.float32)
-            eb = jnp.dot(hard, GT, preferred_element_type=jnp.float32)
-            syn = jnp.sum(eb.reshape(T, m, D), axis=-1) % 2.0
-            return jnp.all(syn == 0.0, axis=-1)
+            syn = gather_d(hard, 0)
+            for d in range(1, D):
+                syn = syn + gather_d(hard, d)
+            bad = jnp.sum(jnp.where(syn % 2.0 != 0.0, 1.0, 0.0), axis=-1,
+                          keepdims=True)
+            return jnp.where(bad > 0.0, 0.0, 1.0)
 
-        v2c0 = jnp.dot(llr_in, GT, preferred_element_type=jnp.float32).reshape(T, m, D)
+        v2c0 = [gather_d(llr_in, d) for d in range(D)]
 
         def cond(carry):
-            _, _, done, _, it = carry
-            return (it < max_iters) & ~jnp.all(done)
+            done = carry[2]  # [T,1] float
+            return (carry[-1] < max_iters) & (jnp.min(done) < 0.5)
 
         def body(carry):
-            v2c, llr_total, done, iters, it = carry
+            v2c_t, llr_total, done, iters, it = carry
+            v2c = list(v2c_t)
             c2v = check_update(v2c)
-            llr_new = llr_in + jnp.dot(c2v.reshape(T, mD), G,
-                                       preferred_element_type=jnp.float32)
-            v2c_new = jnp.dot(llr_new, GT,
-                              preferred_element_type=jnp.float32).reshape(T, m, D) - c2v
-            v2c_new = jnp.clip(v2c_new, -LLR_CLAMP, LLR_CLAMP)
-            ok = parity_ok(llr_new)
-            upd = ~done
-            llr_total = jnp.where(upd[:, None], llr_new, llr_total)
-            v2c = jnp.where(upd[:, None, None], v2c_new, v2c)
-            iters = iters + upd.astype(jnp.int32)
-            return (v2c, llr_total, done | ok, iters, it + 1)
+            llr_new = llr_in + scatter_sum(c2v)
+            upd = 1.0 - done  # [T,1]
+            v2c_new = []
+            for d in range(D):
+                v = jnp.clip(gather_d(llr_new, d) - c2v[d], -LLR_CLAMP, LLR_CLAMP)
+                v2c_new.append(jnp.where(upd > 0.5, v, v2c[d]))
+            ok = parity_ok_f(llr_new)
+            llr_total = jnp.where(upd > 0.5, llr_new, llr_total)
+            iters = iters + upd
+            done = jnp.maximum(done, ok)
+            return (tuple(v2c_new), llr_total, done, iters, it + 1)
 
-        init = (v2c0, llr_in, jnp.zeros(T, bool), jnp.zeros(T, jnp.int32),
-                jnp.int32(0))
+        zero_col = jnp.zeros((T, 1), jnp.float32)
+        init = (tuple(v2c0), llr_in, zero_col, zero_col, jnp.int32(0))
         _, llr_total, done, iters, _ = jax.lax.while_loop(cond, body, init)
         out_llr_ref[:] = llr_total
-        out_ok_ref[:] = done[:, None].astype(jnp.int32)
-        out_iters_ref[:] = iters[:, None]
-
-    gather_t = np.ascontiguousarray(gather.T)
-    mask_f32 = mask.astype(np.float32)
+        out_ok_ref[:] = done.astype(jnp.int32)
+        out_iters_ref[:] = iters.astype(jnp.int32)
 
     @jax.jit
     def decode(llrs: jnp.ndarray) -> DecodeResult:
@@ -112,9 +154,9 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((mD, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, mD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((m, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, m, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, n, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -126,7 +168,7 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
                 jax.ShapeDtypeStruct((B, 1), jnp.int32),
                 jax.ShapeDtypeStruct((B, 1), jnp.int32),
             ],
-        )(llrs.astype(jnp.float32), gather, gather_t, mask_f32)
+        )(llrs.astype(jnp.float32), G, GT, slot_mask_dm)
         info = (llr_total[:, :k] < 0).astype(jnp.uint8)
         return DecodeResult(info, ok[:, 0].astype(bool), iters[:, 0], llr_total)
 

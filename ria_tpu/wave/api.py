@@ -236,7 +236,9 @@ class _OFDMWaveformBase:
     data frames fixed 4-CW with frame interleave (streaming_encoder.cpp)."""
 
     def __init__(self, modulation: str = "DQPSK", rate: str = "R1_2",
-                 channel_interleave: bool = False):
+                 channel_interleave: bool = True):
+        # Channel interleaving defaults ON for OFDM data frames
+        # (streaming_encoder.hpp:197 use_channel_interleave_ = true).
         self.modulation = modulation
         self.rate = rate
         self.channel_interleave = channel_interleave
