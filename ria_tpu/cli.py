@@ -108,6 +108,59 @@ def cmd_prx(args) -> int:
     return 0
 
 
+def render_waterfall_ascii(db: np.ndarray, freqs: np.ndarray, width: int = 72,
+                           height: int = 16) -> str:
+    """Terminal waterfall: rows = time (newest last), cols = frequency."""
+    if db.size == 0:
+        return "(no signal)"
+    ramp = " .:-=+*#%@"
+    t_idx = np.linspace(0, db.shape[0] - 1, min(height, db.shape[0])).astype(int)
+    f_idx = np.linspace(0, db.shape[1] - 1, min(width, db.shape[1])).astype(int)
+    grid = db[np.ix_(t_idx, f_idx)]
+    lo, hi = np.percentile(grid, 10), np.percentile(grid, 99)
+    norm = np.clip((grid - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
+    chars = (norm * (len(ramp) - 1)).astype(int)
+    lines = ["".join(ramp[c] for c in row) for row in chars]
+    axis = (f"{freqs[f_idx[0]]:.0f}Hz" + " " * (len(f_idx) - 12)
+            + f"{freqs[f_idx[-1]]:.0f}Hz")
+    return "\n".join(lines + [axis])
+
+
+def cmd_monitor(args) -> int:
+    """Textual waterfall + per-block decode status over an f32 stream.
+
+    Headless counterpart of the reference GUI's waterfall/status widgets:
+    streams audio (file or stdin) through a Station in block steps and
+    renders an ASCII waterfall plus SNR/CFO/fading/frame counters.
+    """
+    from ria_tpu.phy.station import Station
+    from ria_tpu.runtime.monitor import ModemMonitor, waterfall
+
+    if args.input == "-":
+        raw = sys.stdin.buffer.read()
+    else:
+        raw = open(args.input, "rb").read()
+    audio = np.frombuffer(raw, np.float32)
+    st = Station(args.src)
+    mon = ModemMonitor(st)
+    block = 48000 // 4
+    decoded = []
+    st.conn.on_message = lambda m: decoded.append(m)
+    for off in range(0, len(audio), block):
+        st.feed_audio(audio[off: off + block])
+        st.poll()
+        st.tick(int(1000 * block / 48000.0))
+    db, freqs = waterfall(audio[-48000 * 4:])
+    s = mon.status()
+    print(render_waterfall_ascii(db, freqs))
+    print(f"state={s.state} wf={s.waveform} snr={s.snr_db:.1f}dB "
+          f"cfo={s.cfo_hz:.1f}Hz fading={s.fading_index:.2f} "
+          f"rx={s.frames_rx} tx={s.frames_tx} fail={s.decode_failures}")
+    for m in decoded:
+        print("message:", m)
+    return 0
+
+
 def cmd_info(args) -> int:
     from ria_tpu import __version__
     from ria_tpu.fec.ldpc_matrix import CODE_PARAMS
@@ -146,6 +199,11 @@ def main(argv=None) -> int:
     prx.add_argument("-m", "--modulation", default=None)
     prx.add_argument("-r", "--rate", default=None)
     prx.set_defaults(fn=cmd_prx)
+
+    mon = sub.add_parser("monitor", help="ASCII waterfall + status over f32 stream")
+    mon.add_argument("input", help="file path or - for stdin")
+    mon.add_argument("-s", "--src", default="NOCALL")
+    mon.set_defaults(fn=cmd_monitor)
 
     info = sub.add_parser("info", help="print modem configuration")
     info.set_defaults(fn=cmd_info)

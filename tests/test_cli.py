@@ -27,3 +27,13 @@ def test_ptx_connect_frame(tmp_path, capsys):
     assert main(["prx", str(f32)]) == 0
     out = capsys.readouterr().out
     assert "CONNECT" in out and "W1AW" in out
+
+
+def test_monitor_waterfall_and_decode(tmp_path, capsys):
+    f32 = tmp_path / "mon.f32"
+    assert main(["ptx", "monitor smoke", "-s", "W1AW", "-d", "VE3ABC",
+                 "-o", str(f32)]) == 0
+    assert main(["monitor", str(f32), "-s", "VE3ABC"]) == 0
+    out = capsys.readouterr().out
+    assert "state=" in out and "Hz" in out
+    assert "monitor smoke" in out
