@@ -37,8 +37,14 @@ _BIG = 1e9
 
 @functools.lru_cache(maxsize=None)
 def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None,
-                        min_sum_factor: float = MIN_SUM_FACTOR):
-    """Batched decoder: llrs [B, 648] (B % tile == 0) -> DecodeResult."""
+                        min_sum_factor: float = MIN_SUM_FACTOR,
+                        interpret: bool = False):
+    """Batched decoder: llrs [B, 648] (B % tile == 0) -> DecodeResult.
+
+    interpret=True runs the kernel through the Pallas interpreter (any
+    backend, no Mosaic) — used by the CPU test suite to validate kernel
+    logic; on-TPU compilation is exercised by tools/pallas_bench.py.
+    """
     code = get_code(rate)
     if max_iters is None:
         max_iters = RECOMMENDED_ITERS[rate]
@@ -58,9 +64,10 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
     GT = GT.astype(jnp.bfloat16)
     slot_mask = code.row_mask.astype(np.float32)     # [m, D] -> pass as [D, m]
     slot_mask_dm = np.ascontiguousarray(slot_mask.T)
+    ones_mn = np.ones((m, n), dtype=jnp.bfloat16)    # lane-broadcast matmuls
 
-    def kernel(llr_ref, g_ref, gt_ref, mask_ref, out_llr_ref, out_ok_ref,
-               out_iters_ref):
+    def kernel(llr_ref, g_ref, gt_ref, mask_ref, ones_ref, out_llr_ref,
+               out_ok_ref, out_iters_ref):
         llr_in = llr_ref[:]                          # [T, n]
         T = llr_in.shape[0]
         masks = [mask_ref[d, :][None, :] > 0.5 for d in range(D)]  # [1, m] each
@@ -103,46 +110,60 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
                                      * min_sum_factor, 0.0))
             return out
 
-        def parity_ok_f(llr_total):
-            """[T,1] float flag (1.0 = all checks satisfied); bool vectors
-            with minor-dim insertion are not lowerable, so everything stays
-            2D float with keepdims reductions."""
+        def parity_ok(llr_total):
+            """Per-codeword convergence flags replicated across a full lane
+            dim: ([T, m], [T, n]) floats, 1.0 = all checks satisfied.
+            Mosaic cannot lay out [T, 1] vectors (invalid-relayout on
+            replicated minor dims), so per-row scalars are broadcast across
+            lanes with ones-matrix matmuls instead of keepdims reductions."""
             hard = (llr_total < 0).astype(jnp.float32)
             syn = gather_d(hard, 0)
             for d in range(1, D):
                 syn = syn + gather_d(hard, d)
-            bad = jnp.sum(jnp.where(syn % 2.0 != 0.0, 1.0, 0.0), axis=-1,
-                          keepdims=True)
-            return jnp.where(bad > 0.0, 0.0, 1.0)
+            bad = jnp.where(syn % 2.0 != 0.0, 1.0, 0.0)        # [T, m]
+            # row-sum of bad, replicated across n lanes: [T,m] @ [m,n] ones
+            bad_n = jnp.dot(bad.astype(jnp.bfloat16), ones_ref[:],
+                            preferred_element_type=jnp.float32)  # [T, n]
+            ok_n = jnp.where(bad_n > 0.0, 0.0, 1.0)
+            # replicate back across m lanes the same way
+            ok_m = gather_d(ok_n, 0)
+            ok_m = jnp.where(ok_m > 0.0, 1.0, 0.0)
+            return ok_m, ok_n
 
         v2c0 = [gather_d(llr_in, d) for d in range(D)]
 
         def cond(carry):
-            done = carry[2]  # [T,1] float
-            return (carry[-1] < max_iters) & (jnp.min(done) < 0.5)
+            done_n = carry[3]  # [T, n] float, columns identical per row
+            return (carry[-1] < max_iters) & (jnp.min(done_n) < 0.5)
 
         def body(carry):
-            v2c_t, llr_total, done, iters, it = carry
+            v2c_t, llr_total, done_m, done_n, iters_n, it = carry
             v2c = list(v2c_t)
             c2v = check_update(v2c)
             llr_new = llr_in + scatter_sum(c2v)
-            upd = 1.0 - done  # [T,1]
+            upd_m = 1.0 - done_m  # [T, m]
+            upd_n = 1.0 - done_n  # [T, n]
             v2c_new = []
             for d in range(D):
                 v = jnp.clip(gather_d(llr_new, d) - c2v[d], -LLR_CLAMP, LLR_CLAMP)
-                v2c_new.append(jnp.where(upd > 0.5, v, v2c[d]))
-            ok = parity_ok_f(llr_new)
-            llr_total = jnp.where(upd > 0.5, llr_new, llr_total)
-            iters = iters + upd
-            done = jnp.maximum(done, ok)
-            return (tuple(v2c_new), llr_total, done, iters, it + 1)
+                v2c_new.append(jnp.where(upd_m > 0.5, v, v2c[d]))
+            ok_m, ok_n = parity_ok(llr_new)
+            llr_total = jnp.where(upd_n > 0.5, llr_new, llr_total)
+            iters_n = iters_n + upd_n
+            done_m = jnp.maximum(done_m, ok_m)
+            done_n = jnp.maximum(done_n, ok_n)
+            return (tuple(v2c_new), llr_total, done_m, done_n, iters_n, it + 1)
 
-        zero_col = jnp.zeros((T, 1), jnp.float32)
-        init = (tuple(v2c0), llr_in, zero_col, zero_col, jnp.int32(0))
-        _, llr_total, done, iters, _ = jax.lax.while_loop(cond, body, init)
+        # derive zeros from data, not jnp.zeros: constant inits get a fully
+        # replicated Mosaic layout that the loop-carried update (tiled
+        # {0,0}) cannot be relayouted back to.
+        zero_m = v2c0[0] * 0.0
+        zero_n = llr_in * 0.0
+        init = (tuple(v2c0), llr_in, zero_m, zero_n, zero_n, jnp.int32(0))
+        _, llr_total, _, done_n, iters_n, _ = jax.lax.while_loop(cond, body, init)
         out_llr_ref[:] = llr_total
-        out_ok_ref[:] = done.astype(jnp.int32)
-        out_iters_ref[:] = iters.astype(jnp.int32)
+        out_ok_ref[:] = done_n
+        out_iters_ref[:] = iters_n
 
     @jax.jit
     def decode(llrs: jnp.ndarray) -> DecodeResult:
@@ -152,24 +173,33 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
         llr_total, ok, iters = pl.pallas_call(
             kernel,
             grid=grid,
+            compiler_params=pltpu.CompilerParams(
+                # ~16.8 MB live at tile=128 (bf16 one-hots + 7-slot message
+                # buffers); the 16 MB default scoped limit is conservative,
+                # v5e VMEM is 128 MB.
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
             in_specs=[
                 pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((D, m, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((D, n, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((D, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((B, n), jnp.float32),
-                jax.ShapeDtypeStruct((B, 1), jnp.int32),
-                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                jax.ShapeDtypeStruct((B, n), jnp.float32),
+                jax.ShapeDtypeStruct((B, n), jnp.float32),
             ],
-        )(llrs.astype(jnp.float32), G, GT, slot_mask_dm)
+        )(llrs.astype(jnp.float32), G, GT, slot_mask_dm, ones_mn)
         info = (llr_total[:, :k] < 0).astype(jnp.uint8)
-        return DecodeResult(info, ok[:, 0].astype(bool), iters[:, 0], llr_total)
+        return DecodeResult(info, ok[:, 0] > 0.5,
+                            iters[:, 0].astype(jnp.int32), llr_total)
 
     return decode
