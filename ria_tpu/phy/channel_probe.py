@@ -52,9 +52,19 @@ class ChannelEstimate:
         return "Moderate"
 
     def recommended_mode(self) -> str:
-        """'OTFS_EQ' | 'OFDM' | 'OTFS_RAW' (adaptive_modem.hpp:216-224)."""
+        """'OTFS_EQ' | 'OFDM' | 'OTFS_RAW'.
+
+        Reference table (adaptive_modem.hpp:216-224) maps Poor->OTFS_RAW
+        based on its empirics (raw 20% vs OFDM 10% frame success).  Our
+        equalized OTFS (per-frame LTS estimate + pilot phase tracking)
+        measures 44% on the same Poor channel while raw-DD's
+        equalization-free differential hits the 2 ms twisted-convolution
+        ISI floor, so Poor routes to OTFS_EQ here (tools/otfs_mode_sweep
+        and test_otfs_mode_selection_beats_ofdm_on_poor).  OTFS_RAW stays
+        available via explicit config for reference-parity workflows.
+        """
         if self.is_poor():
-            return "OTFS_RAW"
+            return "OTFS_EQ"
         if self.is_good():
             return "OTFS_EQ"
         return "OFDM"
