@@ -13,6 +13,17 @@ Numeric contract from the reference (src/sync/chirp_sync.hpp):
 
 TPU redesign: the whole search window is one (batched) FFT correlation and an
 argmax — there is no coarse/fine stepping; every lag is evaluated at once.
+
+For large windows a zoom-FFT fast path computes the correlation on a
+decimated lag grid first: the matched-filter output c(tau) = IFFT(X * conj(U))
+has spectrum support limited to the chirp band, so keeping only the first
+nfft/8 bins (0..6 kHz at fs=48k, which contains the 300-2700 Hz band plus its
+leakage tails) and running an nfft/8-point IFFT yields c(8m) EXACTLY
+(critically-sampled band-limited signal) at 1/8 of the transform cost, from a
+single shared rfft of the input.  The coarse argmax is then refined to
+sample resolution with one small MXU matmul (25 shifted-template columns)
+that also produces the exact normalized correlation value used for
+thresholding — so detection semantics match the full-resolution path.
 """
 
 from __future__ import annotations
@@ -106,6 +117,126 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+# Zoom fast path: decimate the correlation lag grid by this factor (the kept
+# spectrum band nfft/_ZOOM_DECIM bins = fs/_ZOOM_DECIM Hz must contain the
+# chirp band + leakage guard; 6 kHz at fs=48k comfortably holds 300-2700 Hz).
+_ZOOM_DECIM = 8
+# Refinement half-width in samples around the coarse peak (>= _ZOOM_DECIM so
+# the true peak is always inside the refined search).
+_ZOOM_REFINE = 12
+_ZOOM_MIN_NFFT = 131072
+
+
+@functools.lru_cache(maxsize=None)
+def _zoom_tables(cfg: ChirpConfig, nfft: int):
+    """Precomputed band spectra + shifted-template refinement matrices."""
+    up_t, down_t, energy = _templates(cfg)
+    nb = nfft // _ZOOM_DECIM
+    up_band = np.conj(np.fft.fft(up_t, nfft)[:nb]).astype(np.complex64)
+    down_band = np.conj(np.fft.fft(down_t, nfft)[:nb]).astype(np.complex64)
+
+    # Refinement matmul: M[n, j] = conj(t[n - j]) so (y @ M)[j] is the
+    # correlation of window y against the template placed at offset j.
+    R = _ZOOM_REFINE
+    L = cfg.chirp_samples + 2 * R
+    def shift_mat(t):
+        M = np.zeros((L, 2 * R + 1), np.complex64)
+        for j in range(2 * R + 1):
+            M[j : j + cfg.chirp_samples, j] = np.conj(t)
+        return np.ascontiguousarray(M.real), np.ascontiguousarray(M.imag)
+    return up_band, down_band, energy, shift_mat(up_t), shift_mat(down_t)
+
+
+def _refine_peak(x: jnp.ndarray, coarse_pos: jnp.ndarray, mats, tmpl_energy: float,
+                 chirp_len: int):
+    """Exact normalized correlation around a coarse peak (batched).
+
+    x: [B, n]; coarse_pos: [B] int32.  Returns (lag [B] int32, corr [B]).
+    """
+    Mr, Mi = mats
+    R = _ZOOM_REFINE
+    L = chirp_len + 2 * R
+    n = x.shape[-1]
+    start = jnp.clip(coarse_pos - R, 0, n - L)
+    y = jax.vmap(lambda a, s: jax.lax.dynamic_slice(a, (s,), (L,)))(x, start)
+    cr = y @ jnp.asarray(Mr)
+    ci = y @ jnp.asarray(Mi)
+    mag2 = cr * cr + ci * ci                       # [B, 2R+1]
+    csum = jnp.concatenate(
+        [jnp.zeros(y.shape[:-1] + (1,), y.dtype), jnp.cumsum(y * y, axis=-1)], -1)
+    win = csum[..., chirp_len : chirp_len + 2 * R + 1] - csum[..., : 2 * R + 1]
+    corr2 = mag2 / jnp.maximum(win * tmpl_energy, 1e-20)
+    j = jnp.argmax(corr2, axis=-1).astype(jnp.int32)
+    val = jnp.sqrt(jnp.take_along_axis(corr2, j[..., None], axis=-1)[..., 0])
+    return start + j, val
+
+
+def _detect_dual_chirp_zoom(samples: jnp.ndarray, cfg: ChirpConfig,
+                            nfft: int) -> ChirpSyncResult:
+    """Zoom-FFT dual-chirp search (large windows).  samples: [..., n]."""
+    shape = samples.shape[:-1]
+    n = samples.shape[-1]
+    chirp_len = cfg.chirp_samples
+    x = samples.reshape((-1, n)).astype(jnp.float32)
+    up_band, down_band, energy, up_mats, down_mats = _zoom_tables(cfg, nfft)
+
+    nb = nfft // _ZOOM_DECIM
+    X = jnp.fft.rfft(x, nfft)[..., :nb]
+    env_up = jnp.abs(jnp.fft.ifft(X * jnp.asarray(up_band)))    # ~|c(mD)|
+    env_down = jnp.abs(jnp.fft.ifft(X * jnp.asarray(down_band)))
+
+    # Normalize the coarse envelope by the sliding window energy at stride D
+    # so the argmax matches the normalized-correlation argmax (signal energy
+    # varies along the window: leading silence vs frame body).
+    D = _ZOOM_DECIM
+    num_lags = n - chirp_len
+    nm = nb
+    # Window energy at stride-D lags only: block-sum x^2 by D (the dispatch
+    # guarantees chirp_len % D == 0), then a D-times-shorter cumsum.  Exact
+    # for these lags.
+    nblk = n // D
+    blk = jnp.sum((x[..., : nblk * D] * x[..., : nblk * D]).reshape(x.shape[:-1] + (nblk, D)), -1)
+    csum = jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (1,), x.dtype), jnp.cumsum(blk, axis=-1)], -1)
+    idx = jnp.arange(nm, dtype=jnp.int32) * D
+    valid = idx < num_lags
+    idx_b = jnp.minimum(idx // D, max(nblk - chirp_len // D - 1, 0))
+    win = jnp.take(csum, idx_b + chirp_len // D, axis=-1) - jnp.take(csum, idx_b, axis=-1)
+    inv = jax.lax.rsqrt(jnp.maximum(win * energy, 1e-20))
+
+    up_env = jnp.where(valid, env_up * inv, -1.0)
+    up_coarse = (jnp.argmax(up_env, axis=-1).astype(jnp.int32)) * D
+    up_pos, up_val = _refine_peak(x, up_coarse, up_mats, energy, chirp_len)
+
+    if not cfg.use_dual_chirp:
+        ok = up_val >= cfg.threshold
+        res = ChirpSyncResult(ok, jnp.where(ok, up_pos, -1), jnp.zeros_like(up_val),
+                              up_val, jnp.zeros_like(up_val))
+        return ChirpSyncResult(*(v.reshape(shape) for v in res))
+
+    lo = up_pos + chirp_len // 2
+    hi = up_pos + chirp_len + cfg.gap_samples + 10000 + chirp_len
+    mask = valid & (idx >= lo[..., None]) & (idx <= hi[..., None])
+    down_env = jnp.where(mask, env_down * inv, -1.0)
+    down_coarse = (jnp.argmax(down_env, axis=-1).astype(jnp.int32)) * D
+    down_pos, down_val = _refine_peak(x, down_coarse, down_mats, energy, chirp_len)
+
+    expected_gap = chirp_len + cfg.gap_samples
+    gap_error = (down_pos - up_pos - expected_gap).astype(jnp.float32)
+    cfo = gap_error / (2.0 * cfg.cfo_to_samples)
+
+    ok = (up_val >= cfg.threshold) & (down_val >= cfg.threshold) & (jnp.abs(cfo) <= 100.0)
+    start = jnp.round(up_pos.astype(jnp.float32) + cfo * cfg.cfo_to_samples).astype(jnp.int32)
+    res = ChirpSyncResult(
+        detected=ok,
+        start=jnp.where(ok, start, -1),
+        cfo_hz=jnp.where(ok, cfo, 0.0),
+        up_corr=up_val,
+        down_corr=down_val,
+    )
+    return ChirpSyncResult(*(v.reshape(shape) for v in res))
+
+
 def _norm_correlate(x: jnp.ndarray, tmpl_fft: jnp.ndarray, tmpl_energy: float,
                     chirp_len: int, nfft: int) -> jnp.ndarray:
     """Normalized correlation magnitude for every lag (batched over leading axes)."""
@@ -139,6 +270,8 @@ def detect_dual_chirp(samples: jnp.ndarray, cfg: ChirpConfig, num_samples: int |
         return ChirpSyncResult(jnp.zeros(shape, bool), jnp.full(shape, -1, jnp.int32),
                                f, f, f)
     nfft = _next_pow2(n + chirp_len)
+    if nfft >= _ZOOM_MIN_NFFT and chirp_len % _ZOOM_DECIM == 0:
+        return _detect_dual_chirp_zoom(samples, cfg, nfft)
     up_t, down_t, energy = _templates(cfg)
     up_fft = jnp.conj(jnp.fft.fft(jnp.asarray(up_t), nfft))
     down_fft = jnp.conj(jnp.fft.fft(jnp.asarray(down_t), nfft))

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ria_tpu.dsp.hilbert import analytic_signal
 from ria_tpu.sync.chirp import ChirpConfig, generate as chirp_generate
 
 
@@ -158,17 +157,22 @@ def demodulate(frame_samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: MCDPSKConfi
     need = (T + 1 + R) * sps
     x = frame_samples[..., :need]
 
-    # CFO correction: rotate the analytic signal by e^{-j 2 pi cfo t}
-    # (reference applyCFOCorrection, multi_carrier_dpsk.hpp:901-926).
-    z = analytic_signal(x)
+    # CFO correction fused into the mix: rotating the REAL signal by
+    # e^{-j 2 pi cfo t} shifts its positive-frequency band onto the mixer
+    # grid exactly like the reference's applyCFOCorrection + real-sample
+    # downmix (multi_carrier_dpsk.hpp:901-926, :931-946); the negative-freq
+    # image lands at -(f_k + f_m) and is rejected by the 512-sample
+    # integration (>= 30 dB), the same rejection the reference's own
+    # real-signal mixing relies on.  This avoids the two large FFTs of an
+    # explicit Hilbert transform on the hot path.
     t = jnp.arange(need, dtype=jnp.float32)
     rot = jnp.exp(-1j * (2.0 * jnp.pi * jnp.asarray(cfo_hz)[..., None] / cfg.sample_rate) * t)
-    x = jnp.real(z * rot)
+    zx = x.astype(jnp.complex64) * rot
 
     # Mix-and-integrate every symbol x carrier at once: [S, sps] @ [sps, C].
     M = jnp.asarray(np.conj(_synth_matrix(cfg)) / cfg.samples_per_symbol)
-    syms = x.reshape(x.shape[:-1] + (T + 1 + R, sps))
-    zsym = (syms.astype(jnp.complex64) @ M)   # [..., S, C]
+    syms = zx.reshape(zx.shape[:-1] + (T + 1 + R, sps))
+    zsym = syms @ M   # [..., S, C]
 
     z_ref = zsym[..., T, :]
     z_data = zsym[..., T + 1 :, :]

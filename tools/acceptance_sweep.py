@@ -15,6 +15,11 @@ Usage: python tools/acceptance_sweep.py [--seeds 5]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 

@@ -1,0 +1,100 @@
+"""Stage-level profile of the headline RX bench: where does the time go?
+
+Times each jitted stage of the bench pipeline separately (sync search,
+frame slice + demod, LDPC decode) at the bench geometry, so optimization
+effort lands on the dominant stage.  Not part of the test suite.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, iters=10):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ria_tpu.fec.ldpc import make_decoder
+    from ria_tpu.fec.ldpc import make_encoder
+    from ria_tpu.fec.ldpc_matrix import RECOMMENDED_ITERS, get_code
+    from ria_tpu.phy.pipeline import make_rx_pipeline, make_tx_pipeline
+    from ria_tpu.sync.chirp import detect_dual_chirp
+    from ria_tpu.wave.mc_dpsk import MCDPSKConfig, demodulate
+
+    cfg = MCDPSKConfig(num_carriers=10, bits_per_symbol=1)
+    ncw = 4
+    num_bits = ncw * 648
+    batch = 64
+    window = cfg.frame_samples(num_bits) + 12000
+
+    rng = np.random.default_rng(0)
+    code = get_code("R1_4")
+    info = rng.integers(0, 2, size=(batch * ncw, code.k)).astype(np.uint8)
+    coded = np.asarray(make_encoder("R1_4")(info)).reshape(batch, num_bits)
+    tx = np.asarray(make_tx_pipeline(cfg, ncw)(coded))
+    audio = np.zeros((batch, window), np.float32)
+    lead = 4000
+    audio[:, lead:lead + tx.shape[1]] = tx
+    snr_db = 10.0
+    rms = float(np.sqrt((audio ** 2).mean()))
+    audio += rng.normal(0, rms * 10 ** (-snr_db / 20), audio.shape).astype(np.float32)
+    audio_d = jax.device_put(audio)
+
+    # Stage 1: sync search
+    sync_fn = jax.jit(lambda a: detect_dual_chirp(a, cfg.chirp))
+    t_sync = timeit(sync_fn, audio_d)
+
+    # Stage 2: slice + demod (with fixed start/cfo inputs)
+    n_sym = cfg.num_data_symbols(num_bits)
+    frame_need = (cfg.training_symbols + 1 + n_sym * cfg.spreading) * cfg.samples_per_symbol
+    start = jnp.full((batch,), lead + cfg.chirp.total_samples, jnp.int32)
+    cfo = jnp.zeros((batch,), jnp.float32)
+
+    def demod_fn(a, s, c):
+        frames = jax.vmap(lambda x, i: jax.lax.dynamic_slice(x, (i,), (frame_need,)))(a, s)
+        return demodulate(frames, c, cfg, n_sym)
+
+    demod_j = jax.jit(demod_fn)
+    t_demod = timeit(demod_j, audio_d, start, cfo)
+
+    # Stage 3: LDPC decode on the demod soft bits
+    soft = demod_j(audio_d, start, cfo).soft_bits[..., :num_bits].reshape(
+        batch * ncw, 648)
+    soft = jax.device_put(np.asarray(soft))
+    dec = jax.jit(make_decoder("R1_4", RECOMMENDED_ITERS["R1_4"], 0.75))
+    t_ldpc = timeit(dec, soft)
+
+    # Full pipeline for reference
+    rx = make_rx_pipeline(cfg, "R1_4", ncw, window)
+    t_full = timeit(rx, audio_d)
+
+    total_samples = batch * window
+    print(f"geometry: batch={batch} window={window} ncw={ncw}")
+    for name, t in [("sync", t_sync), ("demod", t_demod), ("ldpc", t_ldpc),
+                    ("full", t_full)]:
+        print(f"{name:6s} {t * 1e3:8.2f} ms  {total_samples / t / 1e6:9.1f} Msamp/s")
+
+
+if __name__ == "__main__":
+    main()

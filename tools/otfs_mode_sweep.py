@@ -19,6 +19,11 @@ Usage: python tools/otfs_mode_sweep.py [--seeds 10] [--snr-db 20]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import sys

@@ -9,6 +9,11 @@ Usage: python tools/pallas_bench.py [--rate R1_4] [--batch 512] [--snr-db -1]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

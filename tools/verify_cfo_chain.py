@@ -11,6 +11,11 @@ Usage: python tools/verify_cfo_chain.py [--cfo 12.0] [--dump-prefix /tmp/cfo]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np
