@@ -56,7 +56,7 @@ def main() -> None:
     sig_rms = float(np.sqrt(np.mean(tx**2)))
     audio += rng.normal(0, sig_rms * 10 ** (-10 / 20), audio.shape).astype(np.float32)
 
-    rx = make_rx_pipeline(cfg, "R1_4", ncw, window)
+    rx = make_rx_pipeline(cfg, "R1_4", ncw, window, batch_hint=batch)
     # Rotate distinct device buffers so no runtime-level result caching can
     # shortcut repeated executions.
     variants = []

@@ -36,19 +36,37 @@ class RxBatchResult(NamedTuple):
     snr_db: jnp.ndarray      # [B]
 
 
+_PALLAS_TILE = 128
+
+
+def _pick_decoder(rate: str, min_sum_factor: float, cw_batch: int):
+    """XLA decoder by default; the Pallas VMEM-resident BP kernel when on a
+    real TPU backend and the codeword batch fills whole tiles (the kernel's
+    per-tile early exit needs full [tile, 648] blocks)."""
+    if (jax.default_backend() == "tpu" and cw_batch > 0
+            and cw_batch % _PALLAS_TILE == 0):
+        from ria_tpu.fec.ldpc_pallas import make_pallas_decoder
+        return make_pallas_decoder(rate, tile=_PALLAS_TILE,
+                                   min_sum_factor=min_sum_factor)
+    return make_decoder(rate, RECOMMENDED_ITERS[rate], min_sum_factor)
+
+
 @functools.lru_cache(maxsize=None)
 def make_rx_pipeline(cfg: MCDPSKConfig, rate: str, num_codewords: int,
-                     window_samples: int, min_sum_factor: float = 0.75):
+                     window_samples: int, min_sum_factor: float = 0.75,
+                     batch_hint: int = 0):
     """Build a jitted batch RX: audio [B, window] -> RxBatchResult.
 
     Decodes frames of a known codeword count (the common case for fixed-size
     protocol frames; variable frames use the host-side CW0-peek path in
-    ria_tpu.phy.modem).
+    ria_tpu.phy.modem).  batch_hint (optional, = the B the caller will use)
+    lets the builder choose the Pallas LDPC kernel when B*num_codewords
+    fills whole tiles.
     """
     num_bits = num_codewords * LDPC_BITS
     n_sym = cfg.num_data_symbols(num_bits)
     frame_need = (cfg.training_symbols + 1 + n_sym * cfg.spreading) * cfg.samples_per_symbol
-    decoder = make_decoder(rate, RECOMMENDED_ITERS[rate], min_sum_factor)
+    decoder = _pick_decoder(rate, min_sum_factor, batch_hint * num_codewords)
 
     def rx(audio: jnp.ndarray) -> RxBatchResult:
         B = audio.shape[0]

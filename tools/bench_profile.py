@@ -86,7 +86,7 @@ def main() -> None:
     t_ldpc = timeit(dec, soft)
 
     # Full pipeline for reference
-    rx = make_rx_pipeline(cfg, "R1_4", ncw, window)
+    rx = make_rx_pipeline(cfg, "R1_4", ncw, window, batch_hint=batch)
     t_full = timeit(rx, audio_d)
 
     total_samples = batch * window
