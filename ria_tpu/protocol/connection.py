@@ -119,13 +119,22 @@ class Connection:
         self._keepalive_timer = 0
         self._ctrl_seq = 0
         self._rx_fragments: list[bytes] = []
+        # Buffered TX chunks awaiting an open ARQ slot (the reference's
+        # Connection buffers sendMessage and transmits from tick(); without
+        # this, a send while the previous frame's ACK is still in flight
+        # would be dropped).  Entries are (payload_chunk, frag_flags).
+        self._tx_msg_queue: list[tuple[bytes, int]] = []
 
     # ------------------------------------------------------------ plumbing
     def _wire_arq(self):
         self.arq.on_transmit = lambda fb: self._tx(fb, handshake=False)
         self.arq.on_data = self._on_arq_data
-        self.arq.on_send_complete = lambda ok: (
-            self.on_message_sent(ok) if self.on_message_sent else None)
+        self.arq.on_send_complete = self._on_arq_send_complete
+
+    def _on_arq_send_complete(self, ok: bool):
+        if self.on_message_sent:
+            self.on_message_sent(ok)
+        self._drain_tx_queue()
 
     def _tx(self, frame_bytes: bytes, handshake: bool):
         if self.on_transmit:
@@ -167,6 +176,7 @@ class Connection:
         """Drop all pending TX state immediately (Connection::abortTxNow)."""
         self.arq.reset()
         self._rx_fragments = []
+        self._tx_msg_queue = []
 
     def accept_call(self):
         """Accept a pending incoming CONNECT when auto_accept is off."""
@@ -210,23 +220,38 @@ class Connection:
         return fixed_frame_payload_capacity(self.link.rate)
 
     def send_message(self, data: bytes | str) -> bool:
+        """Buffer a message for transmission (fragmented to link capacity).
+
+        Chunks queue behind any frame still awaiting its ACK and drain from
+        tick()/send-complete, so back-to-back sends are never dropped
+        (reference Connection buffers TX the same way).
+        """
         if self.state != ConnectionState.CONNECTED:
             return False
         if isinstance(data, str):
             data = data.encode()
         cap = self.message_capacity()
         chunks = [data[i : i + cap] for i in range(0, len(data), cap)] or [b""]
-        ok = True
         for i, chunk in enumerate(chunks):
             flags = Flags.MORE_FRAG if i < len(chunks) - 1 else Flags.FINAL
-            ok &= self.arq.send_data(chunk, flags)
-        if ok:
-            self.stats.messages_sent += 1
-        return ok
+            self._tx_msg_queue.append((chunk, int(flags)))
+        self.stats.messages_sent += 1
+        self._drain_tx_queue()
+        return True
+
+    def _drain_tx_queue(self):
+        while (self._tx_msg_queue and self.state == ConnectionState.CONNECTED
+               and self.arq.is_ready_to_send()):
+            chunk, flags = self._tx_msg_queue.pop(0)
+            if not self.arq.send_data(chunk, flags):
+                self._tx_msg_queue.insert(0, (chunk, flags))
+                break
 
     def is_ready_to_send(self) -> bool:
+        """True when a new send would transmit immediately (no queue, open
+        ARQ slot) — used for pacing bulk transfers."""
         return (self.state == ConnectionState.CONNECTED and
-                self.arq.is_ready_to_send())
+                not self._tx_msg_queue and self.arq.is_ready_to_send())
 
     def _on_arq_data(self, payload: bytes, flags: int):
         if flags & Flags.MORE_FRAG:
@@ -477,6 +502,7 @@ class Connection:
                     self._send_connect()
         elif self.state == ConnectionState.CONNECTED:
             self.arq.tick(elapsed_ms)
+            self._drain_tx_queue()
             self._keepalive_timer += elapsed_ms
             if self._keepalive_timer >= self.config.keepalive_interval_ms:
                 self._keepalive_timer = 0
