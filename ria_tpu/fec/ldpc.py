@@ -251,6 +251,54 @@ def decode_with_retries(llrs: np.ndarray, rate: str, max_iters: int | None = Non
                         jnp.asarray(iters), jnp.asarray(llr_total))
 
 
+def decode_candidates(llrs: np.ndarray, rate: str, max_iters: int | None = None,
+                      max_per_cw: int = 4):
+    """CRC-aided list decoding support: distinct candidate codewords per CW.
+
+    At 648 bits this code (the reference's PEG-like construction) has
+    low-weight codeword pairs: after a fade, BP can converge to a
+    parity-valid neighbour whose correlation with the received LLRs is as
+    good as the true codeword's — an undetectable-by-metric ML ambiguity
+    (observed: wrong m/sum|llr| = 0.998 vs truth 0.997).  The frame CRC can
+    arbitrate, but needs the alternatives: this decodes a batch of
+    perturbed/scaled LLR variants per codeword across several min-sum
+    factors (one batched decode per factor — the TPU way) and returns, for
+    each codeword, up to max_per_cw DISTINCT successful codewords sorted by
+    descending correlation metric sum(llr * (1-2*coded)).
+    """
+    llrs = np.asarray(llrs, np.float32)
+    B = llrs.shape[0]
+    rng = np.random.default_rng(0xC0DE)
+    variants = [llrs, np.clip(llrs, -10, 10), llrs * 0.5]
+    # Erasure variants: zero the k least-reliable bits so BP resolves them
+    # from parity alone — deterministic probes of the ambiguity region.
+    order = np.argsort(np.abs(llrs), axis=1)
+    for k in (16, 32, 64):
+        v = llrs.copy()
+        v[np.repeat(np.arange(B), k), order[:, :k].reshape(-1)] = 0.0
+        variants.append(v)
+    for sigma in (0.3, 0.7, 1.2, 2.0):
+        for _ in range(4):
+            variants.append(llrs + rng.normal(0, sigma, llrs.shape).astype(np.float32))
+    stacked = np.concatenate(variants, axis=0)
+    enc = make_encoder(rate)
+    cands: list[dict] = [dict() for _ in range(B)]
+    for factor in (0.9375, 0.875, 0.75, 0.625, 0.5):
+        r = make_decoder(rate, max_iters, factor)(stacked)
+        s = np.asarray(r.success)
+        if not s.any():
+            continue
+        info = np.asarray(r.info_bits)[s]
+        coded = np.asarray(enc(info)).astype(np.int32)
+        for row, inf, cd in zip(np.where(s)[0], info, coded):
+            b = row % B
+            key = cd.tobytes()
+            if key not in cands[b]:
+                m = float(np.sum(llrs[b] * (1 - 2 * cd)))
+                cands[b][key] = (m, inf)
+    return [sorted(c.values(), key=lambda t: -t[0])[:max_per_cw] for c in cands]
+
+
 class LDPCCodec:
     """Host-facing codec with the reference's multi-block byte semantics.
 

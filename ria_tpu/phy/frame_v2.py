@@ -459,16 +459,49 @@ def decode_fixed_frame(soft: np.ndarray, rate: str = "R1_4",
     result = decode_with_retries(cw_soft, rate)
     oks = np.asarray(result.success)
     chunks = [bits_to_bytes(np.asarray(result.info_bits)[i]) for i in range(FRAME_CODEWORDS)]
-    if not oks[0]:
+    if oks.all():
+        fb = _validate_fixed_chunks(chunks, rate)
+        if fb is not None:
+            return oks, fb
+    # CRC-aided list decode: BP can converge to a parity-valid NEIGHBOUR
+    # codeword whose LLR correlation matches the truth's (low-weight pairs
+    # in the 648-bit code) — and a faded CW may decode only under some
+    # perturbations.  Collect distinct candidates per CW and let the frame
+    # header/CRC checks arbitrate combination-wise (metric-ordered).
+    from ria_tpu.fec.ldpc import decode_candidates
+
+    # Gate on >=2 primary successes: the ambiguity scenario always has most
+    # CWs decoding; noise/garbage (0-1 successes) skips the 20x-variant
+    # search instead of burning ~seconds per undecodable window.
+    if int(oks.sum()) < 2:
         return oks, None
+    cands = decode_candidates(cw_soft, rate)
+    if all(len(c) > 0 for c in cands):
+        import itertools
+
+        combos = sorted(itertools.product(*cands),
+                        key=lambda t: -sum(m for m, _ in t))[:64]
+        for combo in combos:
+            chunks_c = [bits_to_bytes(np.asarray(info)) for _, info in combo]
+            fb = _validate_fixed_chunks(chunks_c, rate)
+            if fb is not None:
+                return np.ones(FRAME_CODEWORDS, bool), fb
+    return oks, None
+
+
+def _validate_fixed_chunks(chunks: list[bytes], rate: str) -> bytes | None:
+    """Header-parse + reassemble + full-frame CRC gate for a 4-CW decode."""
     header = parse_header(chunks[0])
     if header is None:
-        return oks, None
+        return None
     expected = (ControlFrame.SIZE if header["is_control"]
                 else DataFrame.HEADER_SIZE + header["payload_len"] + DataFrame.CRC_SIZE)
-    if not oks.all():
-        return oks, None
-    return oks, reassemble_codewords(chunks, rate, expected)
+    fb = reassemble_codewords(chunks, rate, expected)
+    if fb is None or len(fb) < expected:
+        return None
+    if header["is_control"]:
+        return fb if ControlFrame.deserialize(fb) is not None else None
+    return fb if DataFrame.deserialize(fb) is not None else None
 
 
 def fixed_frame_payload_capacity(rate: str) -> int:

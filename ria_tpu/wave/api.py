@@ -302,7 +302,13 @@ class _OFDMWaveformBase:
         soft, res = self._demod(audio, lts_start, cfo, self.cfg, num_bits)
         oks, frame_bytes = decode_fixed_frame(soft, self.rate, self._ci_bits)
         if frame_bytes is None and self._ci_bits:
-            oks, frame_bytes = decode_fixed_frame(soft, self.rate, None)
+            # "Try both" raw vs channel-interleaved (reference
+            # streaming_decoder.cpp:2821-2960) — but keep the primary
+            # decode's per-CW flags when the fallback also fails, so chase
+            # keying and stats reflect the real (interleaved) attempt.
+            oks2, frame_bytes = decode_fixed_frame(soft, self.rate, None)
+            if frame_bytes is not None:
+                oks = oks2
         ok = frame_bytes is not None
         header = parse_header(frame_bytes[:20]) if ok else None
         if ok and header is not None and not header["is_control"]:

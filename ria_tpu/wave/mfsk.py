@@ -54,6 +54,21 @@ class MFSKConfig:
                 self.num_symbols_for_bits(num_bits) * self.repetition * self.samples_per_symbol)
 
 
+def bfsk_config(repetition: int = 4, preamble_cycles: int = 8) -> MFSKConfig:
+    """Binary FSK preset (reference src/fsk/fsk.hpp:14-32): mark/space at
+    1525/1475 Hz (center 1500 Hz, 50 Hz separation), 1536 samples/symbol =
+    31.25 baud, ~50 Hz total bandwidth, 4x bit repetition (~8 bps).
+
+    With num_tones=2 the MFSK tone grid lands exactly on the reference's
+    mark/space pair and the sweep preamble degenerates to the reference's
+    alternating-tone preamble (fsk.hpp:40, 16 symbols by default here:
+    8 cycles x 2 tones).  Target operating point: -4 dB in the 2.8 kHz
+    reporting bandwidth (~ +13 dB in the 50 Hz occupied bandwidth).
+    """
+    return MFSKConfig(num_tones=2, repetition=repetition,
+                      preamble_cycles=preamble_cycles)
+
+
 @functools.lru_cache(maxsize=None)
 def _tone_bank(cfg: MFSKConfig) -> np.ndarray:
     """[sps, T] complex mixers for per-tone correlation."""

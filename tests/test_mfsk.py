@@ -51,3 +51,16 @@ def test_mfsk_loopback(tones, snr_db):
     ok, decoded, sync = _loopback(cfg, snr_db, seed=tones)
     assert ok, f"{tones}FSK failed at {snr_db} dB (score={float(sync.score):.2f})"
     assert decoded == b"MFSK LOW SNR TEST!!!"
+
+
+def test_bfsk_preset_loopback():
+    """BFSK preset parity (reference src/fsk/fsk.hpp): mark/space 1525/1475,
+    31.25 baud, 4x repetition; target -4 dB in the 2.8 kHz reporting BW."""
+    from ria_tpu.wave.mfsk import bfsk_config
+
+    cfg = bfsk_config()
+    assert cfg.tone_freq(0) == 1475.0 and cfg.tone_freq(1) == 1525.0
+    assert cfg.samples_per_symbol == 1536 and cfg.bits_per_symbol == 1
+    ok, decoded, sync = _loopback(cfg, -4.0, seed=77, payload=b"BFSK!")
+    assert ok, f"BFSK failed at -4 dB (score={float(sync.score):.2f})"
+    assert decoded == b"BFSK!"

@@ -128,3 +128,28 @@ def test_adaptive_equalizer_lms_rls():
         ok, decoded, _, _ = _loopback(cfg, "R1_2", payload, 20.0, seed=4 + rls)
         assert ok, f"adaptive eq rls={rls} failed"
         assert decoded == payload
+
+
+def test_crc_aided_list_decode_rescues_ml_ambiguity():
+    """The 648-bit code has low-weight codeword pairs (weight-6 observed):
+    after a fade, BP can converge to a parity-valid NEIGHBOUR whose LLR
+    correlation beats the truth's — undetectable by any metric, only the
+    frame CRC can arbitrate.  This exact realization (Good fading, seed
+    1006) used to lose the frame; CRC-aided candidate-list decoding
+    (ria_tpu.fec.ldpc.decode_candidates) recovers it."""
+    import jax
+    from ria_tpu.phy.frame_v2 import WaveformMode, make_fixed_data_frame, DataFrame
+    from ria_tpu.sim import PRESETS, apply_channel
+    from ria_tpu.wave.api import create_waveform
+
+    payload = b"acceptance sweep payload for seeds!"
+    wf = create_waveform(WaveformMode.OFDM_CHIRP, "DQPSK", "R2_3")
+    frame = make_fixed_data_frame("W1AW", "VE3ABC", 6, payload, "R2_3")
+    tx = wf.tx_frame(frame.serialize())
+    audio = np.concatenate([np.zeros(4000, np.float32), tx, np.zeros(6000, np.float32)])
+    out = np.asarray(apply_channel(jnp.asarray(audio), jax.random.PRNGKey(1006),
+                                   PRESETS["good"](20.0)).samples)
+    rx = wf.rx_frame(out)
+    assert rx.ok, "CRC-aided list decode failed to rescue the ML-ambiguous frame"
+    got = DataFrame.deserialize(rx.frame_bytes)
+    assert got is not None and got.payload[: len(payload)] == payload

@@ -3,6 +3,22 @@
 Measures payload_bytes / audio_seconds through the REAL TX chain per mode
 and compares with the reference's published operating points (BASELINE.md).
 
+Two comparisons per row, mirroring how the reference's table is derived:
+- single: one fixed 4-CW frame including its preamble (worst case);
+- steady: burst mode where available (one light preamble carries `group`
+  frames, reference encodeBurstLight) or a long multi-CW frame for MC-DPSK —
+  the regime the reference's bps table describes.
+
+Reference MC-DPSK rows are R1/2 (10 carriers x 93.75 baud = 937.5 raw bps;
+README 469 bps DBPSK = 937.5 x 1/2), so the MC-DPSK rows here use R1_2.
+
+Note on remaining ratios < 1: the reference's README numbers are GROSS link
+rates (coded capacity x code rate), while this tool counts NET payload bytes
+after the 17 B header + 2 B CRC — e.g. OFDM R1/4's fixed-frame capacity is
+81 B of which 61 B is payload (0.75), matching the measured 0.74 ratio.
+QAM16 R1/2 additionally runs denser pilots (spacing 5 per the reference's
+own link-adaptation table) than the 53+6 the README row assumed.
+
 Usage: python tools/throughput_test.py
 """
 
@@ -16,14 +32,34 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import numpy as np
 
 
-def measure(wf, payload_len: int, fixed: bool, rate: str) -> tuple[float, float]:
-    from ria_tpu.phy.frame_v2 import DataFrame, make_fixed_data_frame
+def measure_single(wf, rate: str) -> tuple[float, float]:
+    """One fixed 4-CW data frame, light preamble."""
+    from ria_tpu.phy.frame_v2 import make_fixed_data_frame
 
-    if fixed:
-        frame = make_fixed_data_frame("W1AW", "VE3ABC", 0, bytes(payload_len), rate)
-        payload_len = len(frame.payload)
-    else:
-        frame = DataFrame.make_data("W1AW", "VE3ABC", 0, bytes(payload_len))
+    frame = make_fixed_data_frame("W1AW", "VE3ABC", 0, bytes(64), rate)
+    payload_len = len(frame.payload)
+    tx = wf.tx_frame(frame.serialize(), light=True)
+    seconds = len(tx) / 48000.0
+    return payload_len * 8 / seconds, seconds
+
+
+def measure_burst(wf, rate: str, group: int = 8) -> tuple[float, float]:
+    """Burst mode: one light preamble, `group` fixed frames."""
+    from ria_tpu.phy.frame_v2 import make_fixed_data_frame
+
+    frames = [make_fixed_data_frame("W1AW", "VE3ABC", i, bytes(64), rate)
+              for i in range(group)]
+    payload = sum(len(f.payload) for f in frames)
+    tx = wf.tx_burst([f.serialize() for f in frames])
+    seconds = len(tx) / 48000.0
+    return payload * 8 / seconds, seconds
+
+
+def measure_long_mc(wf, rate: str, payload_len: int = 600) -> tuple[float, float]:
+    """MC-DPSK steady state: one long variable-CW frame, ZC light preamble."""
+    from ria_tpu.phy.frame_v2 import DataFrame
+
+    frame = DataFrame.make_data("W1AW", "VE3ABC", 0, bytes(payload_len))
     tx = wf.tx_frame(frame.serialize(), light=True)
     seconds = len(tx) / 48000.0
     return payload_len * 8 / seconds, seconds
@@ -33,21 +69,39 @@ def main():
     from ria_tpu.phy.frame_v2 import WaveformMode
     from ria_tpu.wave.api import create_waveform
 
+    # (name, mode, modulation, rate, reference bps)
     rows = [
-        ("MC-DPSK DBPSK R1/4", WaveformMode.MC_DPSK, "DBPSK", "R1_4", 160, False, 469.0),
-        ("MC-DPSK DQPSK R1/4", WaveformMode.MC_DPSK, "DQPSK", "R1_4", 160, False, 938.0),
-        ("OFDM DQPSK R1/4", WaveformMode.OFDM_CHIRP, "DQPSK", "R1_4", 61, True, 1264.0),
-        ("OFDM DQPSK R1/2", WaveformMode.OFDM_CHIRP, "DQPSK", "R1_2", 141, True, 2271.0),
-        ("OFDM DQPSK R2/3", WaveformMode.OFDM_CHIRP, "DQPSK", "R2_3", 197, True, 3028.0),
-        ("OFDM DQPSK R3/4", WaveformMode.OFDM_CHIRP, "DQPSK", "R3_4", 221, True, 3536.0),
-        ("OFDM QAM16 R1/2", WaveformMode.OFDM_COX, "QAM16", "R1_2", 141, True, 4800.0),
-        ("OFDM QAM64 R3/4", WaveformMode.OFDM_COX, "QAM64", "R3_4", 221, True, 7200.0),
+        ("MC-DPSK DBPSK R1/2", WaveformMode.MC_DPSK, "DBPSK", "R1_2", 469.0),
+        ("MC-DPSK DQPSK R1/2", WaveformMode.MC_DPSK, "DQPSK", "R1_2", 938.0),
+        ("OFDM DQPSK R1/4", WaveformMode.OFDM_CHIRP, "DQPSK", "R1_4", 1264.0),
+        ("OFDM DQPSK R1/2", WaveformMode.OFDM_CHIRP, "DQPSK", "R1_2", 2271.0),
+        ("OFDM DQPSK R2/3", WaveformMode.OFDM_CHIRP, "DQPSK", "R2_3", 3028.0),
+        ("OFDM DQPSK R3/4", WaveformMode.OFDM_CHIRP, "DQPSK", "R3_4", 3536.0),
+        ("OFDM QAM16 R1/2", WaveformMode.OFDM_COX, "QAM16", "R1_2", 4800.0),
+        ("OFDM QAM64 R3/4", WaveformMode.OFDM_COX, "QAM64", "R3_4", 7200.0),
     ]
-    print(f"{'mode':24s} {'bps':>8s} {'frame_s':>8s} {'ref_bps':>8s} {'ratio':>6s}")
-    for name, mode, mod, rate, plen, fixed, ref in rows:
+    print(f"{'mode':24s} {'single':>8s} {'steady':>8s} {'ref_bps':>8s} {'ratio':>6s}")
+    worst = 1.0
+    for name, mode, mod, rate, ref in rows:
         wf = create_waveform(mode, mod, rate)
-        bps, secs = measure(wf, plen, fixed, rate)
-        print(f"{name:24s} {bps:8.0f} {secs:8.2f} {ref:8.0f} {bps/ref:6.2f}")
+        single, _ = measure_single(wf, rate)
+        if mode == WaveformMode.MC_DPSK:
+            steady, _ = measure_long_mc(wf, rate)
+        elif hasattr(wf, "tx_burst"):
+            steady, _ = measure_burst(wf, rate)
+        else:
+            # OFDM-COX: no burst wrapper; approximate steady state with the
+            # payload-over-data-samples of a single frame minus preamble.
+            from ria_tpu.phy.frame_v2 import make_fixed_data_frame
+
+            frame = make_fixed_data_frame("W1AW", "VE3ABC", 0, bytes(64), rate)
+            tx = wf.tx_frame(frame.serialize(), light=True)
+            data_s = (len(tx) - wf.preamble_samples()) / 48000.0
+            steady = len(frame.payload) * 8 / data_s
+        ratio = steady / ref
+        worst = min(worst, ratio)
+        print(f"{name:24s} {single:8.0f} {steady:8.0f} {ref:8.0f} {ratio:6.2f}")
+    print(f"worst steady/ref ratio: {worst:.2f}")
 
 
 if __name__ == "__main__":
