@@ -129,11 +129,28 @@ _ZOOM_MIN_NFFT = 131072
 
 @functools.lru_cache(maxsize=None)
 def _zoom_tables(cfg: ChirpConfig, nfft: int):
-    """Precomputed band spectra + shifted-template refinement matrices."""
+    """Precomputed decimated templates + shifted-template refinement matrices.
+
+    Coarse stage operates on a complex baseband decimated by _ZOOM_DECIM:
+    mix by e^{-j w_c t} (band center), box-sum groups of D samples.  The
+    box-sum is a linear filter, so correlating two box-filtered signals
+    equals the true correlation smoothed by a 2D-1 tap triangle — the
+    envelope peak location is preserved, and the refinement matmul restores
+    exact full-rate timing and correlation values.
+    """
     up_t, down_t, energy = _templates(cfg)
-    nb = nfft // _ZOOM_DECIM
-    up_band = np.conj(np.fft.fft(up_t, nfft)[:nb]).astype(np.complex64)
-    down_band = np.conj(np.fft.fft(down_t, nfft)[:nb]).astype(np.complex64)
+    D = _ZOOM_DECIM
+    fc = (cfg.f_start + cfg.f_end) / 2.0
+    n_t = cfg.chirp_samples
+    rot_t = np.exp(-2j * np.pi * fc * np.arange(n_t) / cfg.sample_rate)
+    nb = nfft // D
+
+    def dec_tmpl(t):
+        z = (t * rot_t)[: (n_t // D) * D].reshape(-1, D).sum(-1)
+        return np.conj(np.fft.fft(z, nb)).astype(np.complex64)
+
+    up_band = dec_tmpl(up_t)
+    down_band = dec_tmpl(down_t)
 
     # Refinement matmul: M[n, j] = conj(t[n - j]) so (y @ M)[j] is the
     # correlation of window y against the template placed at offset j.
@@ -180,15 +197,24 @@ def _detect_dual_chirp_zoom(samples: jnp.ndarray, cfg: ChirpConfig,
     x = samples.reshape((-1, n)).astype(jnp.float32)
     up_band, down_band, energy, up_mats, down_mats = _zoom_tables(cfg, nfft)
 
-    nb = nfft // _ZOOM_DECIM
-    X = jnp.fft.rfft(x, nfft)[..., :nb]
-    env_up = jnp.abs(jnp.fft.ifft(X * jnp.asarray(up_band)))    # ~|c(mD)|
-    env_down = jnp.abs(jnp.fft.ifft(X * jnp.asarray(down_band)))
+    # Decimated complex baseband: mix by the band-center NCO (precomputed
+    # ramp, shared across the batch) and box-sum groups of D samples — XLA
+    # fuses mix+reshape+sum into one pass over the input, and every
+    # subsequent transform is D times smaller than a full-rate FFT.
+    D = _ZOOM_DECIM
+    nb = nfft // D
+    nblk_z = n // D
+    fc = (cfg.f_start + cfg.f_end) / 2.0
+    rot = jnp.asarray(np.exp(-2j * np.pi * fc * np.arange(nblk_z * D)
+                             / cfg.sample_rate).astype(np.complex64))
+    zb = (x[..., : nblk_z * D] * rot).reshape(x.shape[:-1] + (nblk_z, D)).sum(-1)
+    Z = jnp.fft.fft(zb, nb)
+    env_up = jnp.abs(jnp.fft.ifft(Z * jnp.asarray(up_band)))    # ~|c(mD)|
+    env_down = jnp.abs(jnp.fft.ifft(Z * jnp.asarray(down_band)))
 
     # Normalize the coarse envelope by the sliding window energy at stride D
     # so the argmax matches the normalized-correlation argmax (signal energy
     # varies along the window: leading silence vs frame body).
-    D = _ZOOM_DECIM
     num_lags = n - chirp_len
     nm = nb
     # Window energy at stride-D lags only: block-sum x^2 by D (the dispatch

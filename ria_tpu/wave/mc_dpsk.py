@@ -165,14 +165,21 @@ def demodulate(frame_samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: MCDPSKConfi
     # integration (>= 30 dB), the same rejection the reference's own
     # real-signal mixing relies on.  This avoids the two large FFTs of an
     # explicit Hilbert transform on the hot path.
-    t = jnp.arange(need, dtype=jnp.float32)
-    rot = jnp.exp(-1j * (2.0 * jnp.pi * jnp.asarray(cfo_hz)[..., None] / cfg.sample_rate) * t)
-    zx = x.astype(jnp.complex64) * rot
+    # Factored rotation ramp: t = s*sps + i, so exp(-jwt) = rot_sym[s] *
+    # rot_in[i].  This needs sps + S transcendental evals per channel
+    # instead of `need`, and keeps the exp arguments small (better f32
+    # phase precision over long frames).
+    S_all = T + 1 + R
+    w = (2.0 * jnp.pi / cfg.sample_rate) * jnp.asarray(cfo_hz, jnp.float32)
+    i_idx = jnp.arange(sps, dtype=jnp.float32)
+    s_idx = jnp.arange(S_all, dtype=jnp.float32) * float(sps)
+    rot_in = jnp.exp(-1j * w[..., None] * i_idx)     # [..., sps]
+    rot_sym = jnp.exp(-1j * w[..., None] * s_idx)    # [..., S]
 
     # Mix-and-integrate every symbol x carrier at once: [S, sps] @ [sps, C].
     M = jnp.asarray(np.conj(_synth_matrix(cfg)) / cfg.samples_per_symbol)
-    syms = zx.reshape(zx.shape[:-1] + (T + 1 + R, sps))
-    zsym = syms @ M   # [..., S, C]
+    syms = x.reshape(x.shape[:-1] + (S_all, sps)).astype(jnp.complex64)
+    zsym = (syms * rot_in[..., None, :]) @ M * rot_sym[..., :, None]  # [..., S, C]
 
     z_ref = zsym[..., T, :]
     z_data = zsym[..., T + 1 :, :]

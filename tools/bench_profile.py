@@ -17,14 +17,19 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, iters=10):
+def timeit(fn, args_list, iters=12):
+    """Pipelined timing over DISTINCT pre-transferred inputs.
+
+    The remote-TPU runtime pipelines dispatch; timing must (a) rotate
+    distinct device buffers and (b) block only once at the end, mirroring
+    bench.py. args_list: list of argument tuples.
+    """
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*a) for a in args_list]
+    jax.block_until_ready(outs)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*args_list[i % len(args_list)]) for i in range(iters)]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
 
@@ -59,11 +64,16 @@ def main() -> None:
     snr_db = 10.0
     rms = float(np.sqrt((audio ** 2).mean()))
     audio += rng.normal(0, rms * 10 ** (-snr_db / 20), audio.shape).astype(np.float32)
-    audio_d = jax.device_put(audio)
+    # Distinct device buffers (tiny dither) so runtime-level shortcuts on
+    # repeated identical executions cannot skew the measurement.
+    NBUF = 4
+    auds = [jax.device_put(audio + rng.normal(0, 1e-4, audio.shape).astype(np.float32))
+            for _ in range(NBUF)]
+    audio_d = auds[0]
 
     # Stage 1: sync search
     sync_fn = jax.jit(lambda a: detect_dual_chirp(a, cfg.chirp))
-    t_sync = timeit(sync_fn, audio_d)
+    t_sync = timeit(sync_fn, [(a,) for a in auds])
 
     # Stage 2: slice + demod (with fixed start/cfo inputs)
     n_sym = cfg.num_data_symbols(num_bits)
@@ -76,18 +86,20 @@ def main() -> None:
         return demodulate(frames, c, cfg, n_sym)
 
     demod_j = jax.jit(demod_fn)
-    t_demod = timeit(demod_j, audio_d, start, cfo)
+    t_demod = timeit(demod_j, [(a, start, cfo) for a in auds])
 
     # Stage 3: LDPC decode on the demod soft bits
-    soft = demod_j(audio_d, start, cfo).soft_bits[..., :num_bits].reshape(
-        batch * ncw, 648)
-    soft = jax.device_put(np.asarray(soft))
+    softs = []
+    for a in auds:
+        soft = demod_j(a, start, cfo).soft_bits[..., :num_bits].reshape(
+            batch * ncw, 648)
+        softs.append(jax.device_put(np.asarray(soft)))
     dec = jax.jit(make_decoder("R1_4", RECOMMENDED_ITERS["R1_4"], 0.75))
-    t_ldpc = timeit(dec, soft)
+    t_ldpc = timeit(dec, [(s_,) for s_ in softs])
 
     # Full pipeline for reference
     rx = make_rx_pipeline(cfg, "R1_4", ncw, window, batch_hint=batch)
-    t_full = timeit(rx, audio_d)
+    t_full = timeit(rx, [(a,) for a in auds])
 
     total_samples = batch * window
     print(f"geometry: batch={batch} window={window} ncw={ncw}")
