@@ -56,8 +56,9 @@ class ChannelEstimate:
 
         Reference table (adaptive_modem.hpp:216-224) maps Poor->OTFS_RAW
         based on its empirics (raw 20% vs OFDM 10% frame success).  Our
-        equalized OTFS (per-frame LTS estimate + pilot phase tracking)
-        measures 44% on the same Poor channel while raw-DD's
+        equalized OTFS (preamble MMSE + decision-directed per-symbol gain
+        tracking, wave/otfs.py phase_tracking) measures 60% on the same
+        Poor channel (12/20 seeds; 75% Moderate) while raw-DD's
         equalization-free differential hits the 2 ms twisted-convolution
         ISI floor, so Poor routes to OTFS_EQ here (tools/otfs_mode_sweep
         and test_otfs_mode_selection_beats_ofdm_on_poor).  OTFS_RAW stays

@@ -256,6 +256,16 @@ class Station:
             cfg = wf.cfg
             n_sym = cfg.num_data_symbols(ncw * 648)
             return (cfg.training_symbols + 1 + n_sym * cfg.spreading) * cfg.samples_per_symbol
+        from ria_tpu.wave.api import MFSKWaveform, OTFSWaveform
+
+        if isinstance(wf, OTFSWaveform):
+            # sync start = first OTFS frame (after the ZC acquisition
+            # preamble); each frame carries its own channel-est preamble.
+            K = wf._frames_for_bits(ncw * 648)
+            return K * (wf.cfg.preamble_samples + wf.cfg.frame_samples)
+        if isinstance(wf, MFSKWaveform):
+            return wf.cfg.num_symbols_for_bits(ncw * 648) * \
+                wf.cfg.repetition * wf.cfg.samples_per_symbol
         cfg = wf.ctrl_cfg if control else wf.cfg
         S = cfg.num_symbols_for_bits((1 if control else 4) * 648)
         return (2 + S) * cfg.symbol_samples

@@ -122,11 +122,23 @@ def apply_channel(x: jnp.ndarray, key: jax.Array, cfg: ChannelConfig) -> Channel
     if cfg.fading_enabled:
         alpha = cfg.fading_alpha
         scale = float(np.sqrt(1.0 / alpha))
+        # Stationary AR(1) state variance per component: alpha^2 var_in /
+        # (1 - (1-alpha)^2) = 1/(2-alpha).  Drawing y[-1] from the
+        # stationary distribution makes the channel statistically
+        # stationary from sample 0 — a deterministic y[-1]=1 start puts
+        # BOTH taps at identical amplitude for the first ~1/alpha samples
+        # (seconds at HF Doppler rates), i.e. the worst-case equal-power
+        # two-ray channel with perfect spectral nulls, which biased every
+        # short-lead simulation pessimistically.
+        init_std = float(np.sqrt(1.0 / (2.0 - alpha)))
 
         def fade(k):
-            nr = jax.random.normal(k, x.shape + (2,), jnp.float32) * scale
+            k_init, k_noise_f = jax.random.split(k)
+            nr = jax.random.normal(k_noise_f, x.shape + (2,), jnp.float32) * scale
             noise_c = jax.lax.complex(nr[..., 0], nr[..., 1])
-            return _ar1_scan(noise_c, alpha, jnp.ones(x.shape[:-1], jnp.complex64))
+            i0 = jax.random.normal(k_init, x.shape[:-1] + (2,), jnp.float32) * init_std
+            init = jax.lax.complex(i0[..., 0], i0[..., 1])
+            return _ar1_scan(noise_c, alpha, init)
 
         h1 = fade(k_fade1)
         h1_mag = jnp.abs(h1)

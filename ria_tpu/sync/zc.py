@@ -31,6 +31,12 @@ import numpy as np
 
 ZC_DEFAULT_DETECT_THRESHOLD = 0.3
 ZC_REP1_ADJUST_THRESHOLD = 0.4
+# First-significant-tap refinement (multipath): walk back this many samples
+# from the correlation peak and lock to the earliest lag >= FRACTION * peak.
+ZC_FIRST_TAP_WINDOW = 120
+ZC_FIRST_TAP_FRACTION = 0.45
+ZC_FIRST_TAP_MIN_PEAK = 0.4
+ZC_FIRST_TAP_LOBE = 16
 ZC_AMPLITUDE_SCALE = 0.8
 ZC_CFO_CONFIDENCE_THRESHOLD = 0.1
 ZC_LOW_SNR_COHERENT_THRESHOLD = 0.25
@@ -186,6 +192,31 @@ def detect(samples: jnp.ndarray, cfg: ZCConfig, root_mask: int = ROOT_MASK_ALL,
     use_earlier = (peak_mag > cfg.threshold) & (peak_pos >= rep) & (
         earlier_mag > peak_mag * ZC_REP1_ADJUST_THRESHOLD)
     timing = jnp.where(use_earlier, earlier, peak_pos)
+
+    # First-significant-tap refinement: under multipath (Watterson 2 ms
+    # echo = 96 samples) the correlation peak can sit on a LATER, stronger
+    # tap; locking there puts the other tap at negative delay, which no CP
+    # can absorb.  Walk back up to ZC_FIRST_TAP_WINDOW samples and take the
+    # EARLIEST lag whose correlation is >= ZC_FIRST_TAP_FRACTION of the
+    # peak.
+    offs = jnp.arange(-ZC_FIRST_TAP_WINDOW, 1, dtype=jnp.int32)
+    widx = jnp.clip(timing[..., None] + offs, 0, num_lags - 1)   # [.., 4, W+1]
+    wmag = jnp.take_along_axis(mag, widx, -1)
+    at_peak = jnp.take_along_axis(mag, timing[..., None], -1)
+    strong = wmag >= ZC_FIRST_TAP_FRACTION * at_peak
+    first = jnp.argmax(strong, axis=-1)                           # leading edge
+    edge = jnp.take_along_axis(widx, first[..., None], -1)[..., 0]
+    # The threshold crossing sits on the tap's correlation SKIRT (the
+    # band-limited main lobe is ~20 samples wide), so advance to the local
+    # maximum within one main-lobe width to land on the tap itself.
+    lobe = jnp.arange(ZC_FIRST_TAP_LOBE, dtype=jnp.int32)
+    lidx = jnp.clip(edge[..., None] + lobe, 0, num_lags - 1)
+    lmag = jnp.take_along_axis(mag, lidx, -1)
+    refined = jnp.take_along_axis(
+        lidx, jnp.argmax(lmag, axis=-1)[..., None], -1)[..., 0]
+    # Only refine confident peaks: weak/CFO-smeared correlations have broad
+    # skirts where a fraction-of-peak sidelobe is just noise.
+    timing = jnp.where(at_peak[..., 0] >= ZC_FIRST_TAP_MIN_PEAK, refined, timing)
 
     # Low-SNR non-coherent repetition combining.
     rep2 = jnp.minimum(timing + rep, num_lags - 1)

@@ -455,7 +455,8 @@ class OTFSWaveform:
         self.raw = raw_dd
         self.cfg = otfs.OTFSConfig(modulation=modulation,
                                    dd_differential=raw_dd,
-                                   tf_equalization=not raw_dd)
+                                   tf_equalization=not raw_dd,
+                                   phase_tracking=not raw_dd)
         if raw_dd:
             self.mode = WaveformMode.OTFS_RAW
         self.zc_cfg = zc_sync.ZCConfig()
@@ -467,7 +468,8 @@ class OTFSWaveform:
         self.rate = rate
         self.cfg = otfs.OTFSConfig(modulation=modulation,
                                    dd_differential=self.raw,
-                                   tf_equalization=not self.raw)
+                                   tf_equalization=not self.raw,
+                                   phase_tracking=not self.raw)
 
     def _frames_for_bits(self, num_bits: int) -> int:
         return -(-num_bits // self.cfg.bits_per_frame())

@@ -46,6 +46,16 @@ class OTFSConfig:
     guard_doppler: int = 4
     tf_equalization: bool = True
     preamble_symbols: int = 4
+    # Decision-directed per-symbol tracking (beyond the reference): the
+    # static preamble estimate cannot track intra-frame channel rotation (a
+    # 1 Hz Poor-channel Doppler turns the channel substantially over the
+    # 192 ms frame).  After a first static MMSE pass, the hardened DD grid
+    # is re-synthesized to TF and a per-OFDM-symbol complex gain r[n] is
+    # estimated against the raw TF samples; the second MMSE pass equalizes
+    # with H[m]*r[n].  (A DD-pilot tap estimate was tried first and
+    # rejected: fractional-delay taps leak across all delay bins, so
+    # truncating to the pilot guard region costs ~-13 dB estimate error.)
+    phase_tracking: bool = False
 
     @property
     def symbol_samples(self) -> int:
@@ -202,10 +212,44 @@ def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray,
     noise_var = jnp.mean(jnp.square(jnp.abs(d)), axis=-1) / 2.0
     noise_var = jnp.maximum(noise_var, 1e-9)
 
-    tf = freq[..., P:, :]  # [.., N, M]
+    tf_raw = freq[..., P:, :]  # [.., N, M]
+    tf = tf_raw
     if cfg.tf_equalization:
         h2 = jnp.square(jnp.abs(H))[..., None, :]
-        tf = tf * jnp.conj(H)[..., None, :] / jnp.maximum(h2 + noise_var[..., None, None], 1e-12)
+        tf = tf_raw * jnp.conj(H)[..., None, :] / jnp.maximum(
+            h2 + noise_var[..., None, None], 1e-12)
+
+    if cfg.phase_tracking and cfg.tf_equalization and not cfg.dd_differential:
+        # Decision-directed per-symbol complex gain: harden the first-pass
+        # DD grid (known pilot/guard cells exact, data cells -> nearest
+        # constellation point), re-synthesize the TF grid, and estimate one
+        # complex gain r[n] per OFDM symbol from the raw TF samples.  M=32
+        # carriers average out decision errors; r[n] tracks the intra-frame
+        # rotation the static preamble H misses.
+        dd1 = sfft(tf)
+        mask = jnp.asarray(cfg.data_cells())
+        nmask = jnp.sum(mask)
+        mean_mod1 = jnp.sum(jnp.abs(dd1) * mask, axis=(-2, -1), keepdims=True) / nmask
+        dd1n = dd1 / jnp.maximum(mean_mod1, 1e-9)
+        table1 = jnp.asarray(constellation_table(cfg.modulation))
+        near = jnp.argmin(jnp.square(jnp.abs(dd1n[..., None] - table1)), axis=-1)
+        hard = table1[near]
+        # Non-data cells (pilot + guards) keep their received values — the
+        # equalized pilot response is itself a good reference and this stays
+        # batch-shape safe.
+        dd_hard = jnp.where(mask, hard * mean_mod1, dd1)
+        x_hat = isfft(dd_hard)                           # [.., N, M]
+        ref = H[..., None, :] * x_hat
+        num = jnp.sum(tf_raw * jnp.conj(ref), axis=-1)   # [.., N]
+        den = jnp.sum(jnp.square(jnp.abs(ref)), axis=-1)
+        r = num / jnp.maximum(den, 1e-12)                # per-symbol gain
+        # Guard against decision-failure symbols: fall back to unit gain
+        # when the estimate collapses.
+        r = jnp.where(jnp.abs(r) < 0.1, 1.0 + 0j, r)
+        H_tv = H[..., None, :] * r[..., :, None]
+        h2 = jnp.square(jnp.abs(H_tv))
+        tf = tf_raw * jnp.conj(H_tv) / jnp.maximum(
+            h2 + noise_var[..., None, None], 1e-12)
 
     dd = sfft(tf)  # [.., M, N]
 

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from ria_tpu.fec import LDPCCodec
-from ria_tpu.sim import apply_channel, awgn, good, poor
+from ria_tpu.sim import PRESETS, apply_channel, awgn, good, poor
 from ria_tpu.utils.bits import bytes_to_bits
 from ria_tpu.wave.otfs import (
     OTFSConfig, demodulate_presynced, isfft, sfft, tx_frame,
@@ -86,3 +86,30 @@ def test_otfs_eq_poor_statistical():
         ok, decoded, _ = _loopback(cfg, 20.0, seed=seed, channel=poor(20.0))
         wins += bool(ok and decoded == b"OTFS PAYLOAD TEST!!!")
     assert wins >= 2, wins
+
+
+def test_phase_tracking_rescues_poor_channel_frame():
+    """Decision-directed per-symbol gain tracking (phase_tracking=True)
+    recovers Poor-channel frames the static preamble MMSE loses: the 1 Hz
+    Doppler rotates the channel over the 192 ms frame.  20-seed A/B under
+    the stationary channel: Moderate 13->15/20, Poor 11->12/20."""
+    codec = LDPCCodec("R1_2")
+    payload = b"OTFS PAYLOAD TEST!!!"
+    bits = bytes_to_bits(codec.encode(payload))
+
+    def run(cfg, seed):
+        tx = tx_frame(bits, cfg)
+        audio = np.concatenate([np.zeros(2000, np.float32), tx,
+                                np.zeros(2000, np.float32)])
+        out = np.asarray(apply_channel(jnp.asarray(audio), jax.random.PRNGKey(seed),
+                                       PRESETS["poor"](20.0)).samples)
+        res = demodulate_presynced(jnp.asarray(out[2000:]), jnp.float32(0.0), cfg)
+        soft = np.asarray(res.soft_bits)[: len(bits)]
+        ok, dec = codec.decode_soft(soft)
+        return bool(ok and dec[:20] == payload)
+
+    static = OTFSConfig(modulation="QPSK", tf_equalization=True)
+    tracked = OTFSConfig(modulation="QPSK", tf_equalization=True,
+                         phase_tracking=True)
+    assert not run(static, 3), "seed drifted: static EQ now passes seed 3"
+    assert run(tracked, 3), "phase tracking failed to rescue seed 3"

@@ -5,12 +5,13 @@ Reproduces the reference's adaptive-modem empirics (adaptive_modem.hpp:
 coherent QPSK), OTFS_RAW (DD differential, no equalization) and OFDM
 DQPSK R1/2 over the ITU-R Good / Moderate / Poor presets.
 
-Measured here (20 dB, 10 seeds) — the reason Poor routes to OTFS_EQ
-instead of the reference's OTFS_RAW:
-  Good:     EQ 10/10, RAW 0/10, OFDM 10/10
-  Moderate: EQ  7/10, RAW 0/10, OFDM  5/10 (kept OFDM per reference table;
-            difference is within 10-seed noise)
-  Poor:     EQ  5/10, RAW 0/10, OFDM  0/10 (raw-DD hits the 2 ms
+Measured here (20 dB, stationary-init Watterson) — the reason Poor routes
+to OTFS_EQ instead of the reference's OTFS_RAW (EQ = static preamble MMSE +
+decision-directed per-symbol gain tracking, wave/otfs.py phase_tracking;
+20-seed A/B: tracking lifts Moderate 13->15/20 and Poor 11->12/20):
+  Good:     EQ 20/20, RAW 0/10, OFDM 10/10
+  Moderate: EQ 15/20, RAW 0/10, OFDM  5/10 (kept OFDM per reference table)
+  Poor:     EQ 12/20, RAW 0/10, OFDM  2/10 (raw-DD hits the 2 ms
             twisted-convolution ISI floor; SNR-independent, 0/25 even
             at 35 dB)
 
@@ -76,7 +77,8 @@ def main(argv=None) -> int:
 
     modes = {
         "OTFS_EQ": lambda s, ch: otfs_once(
-            OTFSConfig(modulation="QPSK", tf_equalization=True), s, ch),
+            OTFSConfig(modulation="QPSK", tf_equalization=True,
+                       phase_tracking=True), s, ch),
         "OTFS_RAW": lambda s, ch: otfs_once(
             OTFSConfig(dd_differential=True, tf_equalization=False), s, ch),
         "OFDM": ofdm_once,
