@@ -406,8 +406,8 @@ def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
     # Restrict to the window around the expected LTS (peak + 4 sym +/- search).
     expected = peak + 4 * sym
     lags = jnp.arange(lts_corr_all.shape[-1], dtype=jnp.int32)
-    lo = expected - 3 * sym
-    hi = expected + sym // 2
+    lo = (expected - 3 * sym)[..., None]
+    hi = (expected + sym // 2)[..., None]
     masked = jnp.where((lags >= lo) & (lags <= hi), lts_corr_all, -1.0)
     lts_pos = jnp.argmax(masked, axis=-1).astype(jnp.int32)
     lts_val = jnp.take_along_axis(masked, lts_pos[..., None], -1)[..., 0]
