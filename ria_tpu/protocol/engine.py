@@ -28,8 +28,12 @@ MSG_FLAG_ENCRYPTED = 0x02
 
 
 class ProtocolEngine:
-    def __init__(self, config: ConnectionConfig | None = None):
-        self.conn = Connection(config)
+    def __init__(self, config: ConnectionConfig | None = None,
+                 conn: Connection | None = None):
+        # An existing Connection (e.g. a Station's) can be injected so the
+        # engine fronts a full modem stack (dual_modem_tcp tool); the engine
+        # takes over the message/connection callbacks.
+        self.conn = conn if conn is not None else Connection(config)
         self.files = FileTransferController()
         self.encryption_enabled = False
         self._aes: AES256 | None = None

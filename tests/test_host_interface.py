@@ -66,3 +66,20 @@ def test_kiss_framing_roundtrip():
     buf = bytearray(wire)
     frames = kiss_unescape(buf)
     assert frames == [payload]
+
+
+def test_dual_modem_tcp_session():
+    """Two full stacks (Station+Engine+HostInterface) cross-wired through
+    simulated air, driven purely over TCP (reference test_dual_modem_tcp.sh):
+    MYCALL/CONNECT on the command ports, payload through the data ports."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+    from tools.dual_modem_tcp import DualModemTcp, self_test
+    from ria_tpu.sim import awgn
+
+    dm = DualModemTcp(awgn(15.0), seed=42)
+    try:
+        assert self_test(dm) == 0
+    finally:
+        dm.close()
