@@ -141,3 +141,23 @@ def test_loopback_watterson_good():
     ok, decoded = codec.decode_soft(soft)
     assert ok
     assert decoded[: len(payload)] == payload
+
+
+def test_loopback_watterson_flutter_with_spreading():
+    """Flutter (10 Hz Doppler): 2x time spreading rides through the fast
+    fading (reference targets MC-DPSK with spreading on flutter channels;
+    full sessions verified 2/2 seeds at 15 dB with chase recoveries)."""
+    import jax
+    from ria_tpu.sim import flutter, apply_channel
+
+    cfg = MCDPSKConfig(bits_per_symbol=1, spreading=2)
+    codec = LDPCCodec("R1_4")
+    payload = b"FLUTTER CHANNEL TEST"
+    tx, num_bits = _tx_frame(payload, cfg, codec)
+    audio = np.concatenate([np.zeros(4000, np.float32), tx, np.zeros(6000, np.float32)])
+    out = np.asarray(apply_channel(jnp.asarray(audio), jax.random.PRNGKey(9),
+                                   flutter(12.0)).samples)
+    soft, _, _ = _rx_frame(out, cfg, num_bits)
+    ok, decoded = codec.decode_soft(soft)
+    assert ok
+    assert decoded[: len(payload)] == payload
