@@ -221,6 +221,55 @@ class HostInterface:
         if cmd == "BEACON":
             self.engine.send_beacon()
             return "OK"
+        if cmd == "CQ":
+            # CQ = beacon carrying a short text payload, then stay listening
+            # (reference command_parser.hpp:23).
+            self.engine.send_beacon((" ".join(args)).encode() if args else b"CQ")
+            self.listen = True
+            return "OK"
+        if cmd == "RAWTX":
+            # Disconnected raw PHY TX (reference command_parser.hpp:25):
+            # RAWTX [waveform] [modulation] [rate] <hex-or-text payload...>
+            if self.station is None:
+                return "ERROR No modem attached"
+            from ria_tpu.phy.frame_v2 import DataFrame
+            from ria_tpu.wave.api import create_waveform
+
+            wf_name = args[0].upper() if args else "MC_DPSK"
+            mod = args[1].upper() if len(args) > 1 else "DBPSK"
+            rate = args[2].upper() if len(args) > 2 else "R1_4"
+            text = " ".join(args[3:]) if len(args) > 3 else "RAWTX"
+            try:
+                wf = create_waveform(WaveformMode[wf_name], mod, rate)
+            except KeyError:
+                return f"ERROR Unknown waveform {wf_name}"
+            frame = DataFrame.make_data(self.engine.conn.local_call or "NOCALL",
+                                        "CQ", 0, text.encode())
+            import numpy as _np
+
+            self.station.tx_queue.append(
+                _np.asarray(wf.tx_frame(frame.serialize()), _np.float32))
+            return "OK"
+        if cmd in ("PTT", "PTTSTATE"):
+            on = bool(self.station and self.station.tx_pending)
+            return f"PTT {'ON' if on else 'OFF'}"
+        if cmd == "CATCONNECT":
+            from ria_tpu.runtime.cat import CatController
+
+            self.cat = CatController()  # NullBackend unless hardware configured
+            return "OK"
+        if cmd == "CATDISCONNECT":
+            self.cat = None
+            return "OK"
+        if cmd == "CATPTT":
+            cat = getattr(self, "cat", None)
+            if cat is None:
+                return "ERROR CAT not connected"
+            if args and args[0].upper() == "ON":
+                cat.request_tx()
+            else:
+                cat.tick(10 ** 6, tx_active=False)  # force release via tail
+            return "OK"
         if cmd == "PING":
             return "PENDING" if args and self.engine.connect(sanitize_callsign(args[0])) \
                 else "ERROR Missing callsign"

@@ -83,3 +83,17 @@ def test_dual_modem_tcp_session():
         assert self_test(dm) == 0
     finally:
         dm.close()
+
+
+def test_cq_rawtx_ptt_cat_commands(iface):
+    """Reference command set parity: CQ, RAWTX, PTT/PTTSTATE, CAT* commands
+    (command_parser.hpp:21-83)."""
+    assert _cmd(iface, "MYCALL W1AW") == "OK"
+    assert _cmd(iface, "CQ hello") == "OK"
+    assert _cmd(iface, "PTTSTATE").startswith("PTT ")
+    # RAWTX without a station attached reports the error cleanly.
+    assert _cmd(iface, "RAWTX MC_DPSK DBPSK R1_4 hi") == "ERROR No modem attached"
+    assert _cmd(iface, "CATPTT ON") == "ERROR CAT not connected"
+    assert _cmd(iface, "CATCONNECT") == "OK"
+    assert _cmd(iface, "CATPTT ON") == "OK"
+    assert _cmd(iface, "CATDISCONNECT") == "OK"
