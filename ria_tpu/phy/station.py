@@ -34,11 +34,16 @@ PING_SYMBOLS = 4  # 40 raw DBPSK bits >= 32 magic bits
 
 @dataclass
 class StationStats:
+    """Decoder telemetry (reference DecoderStats, streaming_decoder.hpp:83-105)."""
+
     frames_tx: int = 0
     frames_rx: int = 0
     decode_failures: int = 0
     pings_rx: int = 0
     sync_skips: int = 0
+    overflow_drops: int = 0           # samples dropped at the buffer cap
+    decode_time_ms_avg: float = 0.0   # EMA of host decode wall time
+    sync_recoveries: dict = field(default_factory=dict)  # {offset: rescues}
 
 
 class Station:
@@ -141,6 +146,15 @@ class Station:
             drop = len(self.rx_buffer) - self.max_buffer
             self.rx_buffer = self.rx_buffer[drop:]
             self._last_failed_sync = max(-1, self._last_failed_sync - drop)
+            self.stats.overflow_drops += drop
+
+    @property
+    def buffer_fill_percent(self) -> float:
+        return 100.0 * len(self.rx_buffer) / self.max_buffer
+
+    @property
+    def backlog_ms(self) -> float:
+        return len(self.rx_buffer) / 48.0
 
     def _try_ping(self, start: int, cfo: float) -> bool:
         """Demod raw uncoded bits after chirp; match the ULTR magic."""
@@ -204,7 +218,25 @@ class Station:
         if len(self.rx_buffer) < min_needed:
             return
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         rx = wf.rx_frame(self.rx_buffer, light=light, chase=self.chase)
+        dt_ms = (_time.perf_counter() - t0) * 1e3
+        self.stats.decode_time_ms_avg = (0.9 * self.stats.decode_time_ms_avg
+                                         + 0.1 * dt_ms)
+        if not rx.ok and rx.header is None and hasattr(wf, "_rx_at"):
+            # Sync-recovery re-decode at shifted offsets (reference
+            # streaming_decoder retries +-8/16/24/32; stats histogram at
+            # streaming_decoder.hpp:95-105).  Only when even the header
+            # failed — a decoded header means timing was right.
+            for off in (-8, 8, -16, 16, -24, 24, -32, 32):
+                r2 = wf._rx_at(self.rx_buffer, max(start + off, 0), sync["cfo_hz"])
+                if r2.ok:
+                    rx = r2
+                    self.stats.sync_recoveries[off] = \
+                        self.stats.sync_recoveries.get(off, 0) + 1
+                    break
         if not rx.ok and not connected and sync["kind"] == "chirp":
             # Beacons are 4x-spread MC-DPSK; retry the chirp frame with the
             # spread demod profile before giving up on this sync.
