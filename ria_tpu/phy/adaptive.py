@@ -12,6 +12,7 @@ Contracts from the reference:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -83,16 +84,27 @@ class CarrierSense:
         return self.energy > self.threshold
 
 
+@functools.lru_cache(maxsize=8)
+def _tx_band_filter(fir_taps: int, lo: float, hi: float,
+                    sample_rate: float) -> "np.ndarray":
+    from ria_tpu.dsp.fir import design_bandpass
+
+    return design_bandpass(fir_taps, lo, hi, sample_rate)
+
+
 def tx_post_process(samples: np.ndarray, lead_in_ms: float = 50.0,
                     sample_rate: float = 48000.0, band=(200.0, 2900.0),
                     scale: float = 1.0, fir_taps: int = 129) -> np.ndarray:
-    """Lead-in silence + band FIR + output scale (ModemEngine::postProcessTx)."""
-    from ria_tpu.dsp.fir import design_bandpass
+    """Lead-in silence + band FIR + output scale (ModemEngine::postProcessTx).
 
+    The band filter matters beyond spectral politeness: it keeps the
+    transmitted waveform's sidelobes out of the 8-22 kHz region the RX-side
+    spectral SNR estimator (dsp/snr.py) uses as its noise-floor reference.
+    """
     import jax.numpy as jnp
     from ria_tpu.dsp.fir import fft_convolve
 
-    h = design_bandpass(fir_taps, band[0], band[1], sample_rate)
+    h = _tx_band_filter(fir_taps, band[0], band[1], sample_rate)
     filtered = np.asarray(fft_convolve(jnp.asarray(samples, jnp.float32),
                                        jnp.asarray(h), mode="same"), np.float32)
     lead = np.zeros(int(sample_rate * lead_in_ms / 1000.0), np.float32)

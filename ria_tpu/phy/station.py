@@ -29,7 +29,14 @@ from ria_tpu.utils.bits import bytes_to_bits
 from ria_tpu.wave import mc_dpsk
 from ria_tpu.wave.api import MCDPSKWaveform, create_waveform
 
-PING_SYMBOLS = 4  # 40 raw DBPSK bits >= 32 magic bits
+# PING parity note (frame_v2.hpp:363-375): the reference sends the raw
+# un-coded "ULTR" magic on SINGLE-carrier DPSK, concentrating all TX power
+# in one carrier (32 bits at 93.75 baud = 341 ms).  Here the same 32 bits
+# ride the MC-DPSK mixer bank with each bit replicated across all carriers
+# and soft-combined at RX — identical airtime and per-bit energy, one
+# demod path, and the +10 dB carrier-combining gain that single-carrier
+# concentration gives the reference.
+PING_SYMBOLS = 32  # one magic bit per MC symbol, replicated across carriers
 
 
 @dataclass
@@ -60,6 +67,10 @@ class Station:
         self._mfsk_wf = None  # lazy MFSK fallback waveform
 
         self.tx_queue: list[np.ndarray] = []
+        # ModemEngine::postProcessTx parity (modem_engine.hpp:356): every
+        # transmission passes the band FIR.  Lead-in is 0 here — PTT lead
+        # timing lives in runtime/cat.py, not in the sample stream.
+        self.tx_lead_in_ms = 0.0
         self.rx_buffer = np.zeros(0, np.float32)
         self.max_buffer = 48000 * 20
         self._last_failed_sync = -1
@@ -77,12 +88,18 @@ class Station:
     # ------------------------------------------------------------------ TX
     def _tx_ping(self):
         cfg = self.handshake_wf.cfg
-        bits = np.zeros(PING_SYMBOLS * cfg.bits_per_mc_symbol, np.int64)
-        magic = bytes_to_bits(PING_MAGIC)
-        bits[: len(magic)] = magic
+        magic = bytes_to_bits(PING_MAGIC)  # 32 bits
+        # Replicate each magic bit across every carrier of its MC symbol.
+        bits = np.repeat(magic[:PING_SYMBOLS], cfg.bits_per_mc_symbol)
         samples = np.concatenate([mc_dpsk.preamble(cfg), mc_dpsk.modulate(bits, cfg)])
-        self.tx_queue.append(samples.astype(np.float32))
+        self._enqueue_tx(samples)
         self.stats.frames_tx += 1
+
+    def _enqueue_tx(self, samples: np.ndarray):
+        from ria_tpu.phy.adaptive import tx_post_process
+
+        self.tx_queue.append(tx_post_process(samples,
+                                             lead_in_ms=self.tx_lead_in_ms))
 
     @property
     def mfsk_wf(self):
@@ -97,7 +114,7 @@ class Station:
         # (ModemEngine::transmitBeacon, modem_engine.hpp:76-80).
         if len(frame_bytes) >= 3 and frame_bytes[2] == 0x40:
             wf = MCDPSKWaveform(modulation="DBPSK", rate="R1_4", spreading=4)
-            self.tx_queue.append(np.asarray(wf.tx_frame(frame_bytes), np.float32))
+            self._enqueue_tx(np.asarray(wf.tx_frame(frame_bytes), np.float32))
             self.stats.frames_tx += 1
             return
         if handshake or self.conn.state != ConnectionState.CONNECTED:
@@ -109,7 +126,7 @@ class Station:
                 wf, light = self.handshake_wf, False
         else:
             wf, light = self.data_wf, True
-        self.tx_queue.append(np.asarray(wf.tx_frame(frame_bytes, light=light), np.float32))
+        self._enqueue_tx(np.asarray(wf.tx_frame(frame_bytes, light=light), np.float32))
         self.stats.frames_tx += 1
 
     def _on_mode_changed(self, link: LinkMode):
@@ -165,9 +182,12 @@ class Station:
         if start + need > len(self.rx_buffer):
             return False
         soft, _ = wf._demod_bits(self.rx_buffer, start, cfo, num_bits)
-        hard = (np.asarray(soft) < 0).astype(np.uint8)
+        # Soft-combine the per-carrier replicas of each magic bit.
+        per_bit = np.asarray(soft).reshape(PING_SYMBOLS, cfg.bits_per_mc_symbol)
+        combined = np.sum(per_bit, axis=1)
+        hard = (combined < 0).astype(np.uint8)
         magic = bytes_to_bits(PING_MAGIC)
-        match = np.mean(hard[: len(magic)] == magic)
+        match = np.mean(hard[: len(magic)] == magic[:PING_SYMBOLS])
         return match >= 0.85
 
     def _consume(self, upto: int):

@@ -22,6 +22,7 @@ from dataclasses import replace
 import numpy as np
 import jax.numpy as jnp
 
+from ria_tpu.dsp.snr import spectral_snr_db
 from ria_tpu.fec import LDPCCodec
 from ria_tpu.phy import frame_v2
 from ria_tpu.phy.frame_v2 import (
@@ -225,8 +226,18 @@ class MCDPSKWaveform:
             from ria_tpu.fec.chase import ChaseKey
 
             chase.remove(ChaseKey(header["seq"], header["src_hash"], header["dst_hash"]))
+        # SNR for mode negotiation: spectral excess-over-noise-floor, which
+        # tracks -14..30+ dB; the differential-phase-variance estimate
+        # floors at ~13 dB from inter-carrier leakage, and the reference
+        # never measures DPSK SNR at all (it feeds sim truth into the
+        # protocol, src/gui/app.cpp:309-316).
+        n_sym = self.cfg.num_data_symbols(total_cw * LDPC_BITS)
+        body_len = (self.cfg.training_symbols + 1 + n_sym * self.cfg.spreading) \
+            * self.cfg.samples_per_symbol
+        snr_db = spectral_snr_db(np.asarray(audio[start:start + body_len],
+                                            np.float32))
         return RxFrame(ok, frame_bytes, header, oks, soft,
-                       snr_db=float(res.snr_estimate_db),
+                       snr_db=snr_db,
                        fading_index=float(res.freq_fading_index + res.temporal_fading_index),
                        cfo_hz=cfo, start_sample=start)
 
@@ -285,6 +296,15 @@ class _OFDMWaveformBase:
         res = ofdm.demodulate_presynced(jnp.asarray(frame), jnp.float32(cfo), cfg, S, 2)
         return np.asarray(res.soft_bits)[:num_bits], res
 
+    def _spectral_snr(self, audio, lts_start, cfg, num_bits) -> float:
+        # Mode-negotiation SNR: spectral excess-over-floor (dsp/snr.py) in
+        # the simulator's full-band-noise convention; the equalizer's EVM
+        # estimate stays internal (LLR scaling, diagnostics).
+        S = cfg.num_symbols_for_bits(num_bits)
+        need = (2 + S) * cfg.symbol_samples
+        return spectral_snr_db(np.asarray(audio[lts_start:lts_start + need],
+                                          np.float32))
+
     def _rx_at(self, audio, lts_start, cfo) -> RxFrame:
         # Control fast path: DQPSK R1/4 single codeword.
         soft0, res0 = self._demod(audio, lts_start, cfo, self.ctrl_cfg, LDPC_BITS)
@@ -293,7 +313,8 @@ class _OFDMWaveformBase:
             header = parse_header(chunk0[0])
             if header is not None and header["is_control"]:
                 return RxFrame(True, chunk0[0][:20], header, ok0, soft0,
-                               snr_db=float(res0.snr_db),
+                               snr_db=self._spectral_snr(audio, lts_start,
+                                                         self.ctrl_cfg, LDPC_BITS),
                                fading_index=float(res0.fading_index),
                                cfo_hz=cfo, start_sample=lts_start)
 
@@ -314,7 +335,8 @@ class _OFDMWaveformBase:
         if ok and header is not None and not header["is_control"]:
             ok = DataFrame.deserialize(frame_bytes) is not None
         return RxFrame(ok and header is not None, frame_bytes, header, oks, soft,
-                       snr_db=float(res.snr_db), fading_index=float(res.fading_index),
+                       snr_db=self._spectral_snr(audio, lts_start, self.cfg, num_bits),
+                       fading_index=float(res.fading_index),
                        cfo_hz=cfo, start_sample=lts_start)
 
 
@@ -539,6 +561,9 @@ class OTFSWaveform:
         ok = bool(oks.all())
         if ok and not header["is_control"]:
             ok = DataFrame.deserialize(frame_bytes) is not None
+        K = self._frames_for_bits(total_cw * LDPC_BITS)
+        ext = K * (self.cfg.preamble_samples + self.cfg.frame_samples)
+        snr = spectral_snr_db(np.asarray(audio[start:start + ext], np.float32))
         return RxFrame(ok, frame_bytes, header, oks, soft, snr_db=snr,
                        cfo_hz=cfo, start_sample=start)
 
@@ -604,8 +629,11 @@ class MFSKWaveform:
         ok = bool(oks.all())
         if ok and not header["is_control"]:
             ok = DataFrame.deserialize(frame_bytes) is not None
+        ext = (self.cfg.frame_samples(total_cw * LDPC_BITS)
+               - self.cfg.preamble_samples)
+        snr = spectral_snr_db(np.asarray(audio[start:start + ext], np.float32))
         return RxFrame(ok, frame_bytes, header, oks, soft,
-                       snr_db=float(res.snr_estimate_db), start_sample=start)
+                       snr_db=snr, start_sample=start)
 
 
 def create_waveform(mode: WaveformMode, modulation: str | None = None,

@@ -20,6 +20,12 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# Session-level tools are dispatch-latency-bound: default to the local CPU
+# backend (RIA_PLATFORM=axon selects the real TPU).
+from ria_tpu.utils.platform import apply_platform
+
+apply_platform(_os.environ.get("RIA_PLATFORM", "cpu"))
+
 import argparse
 import sys
 

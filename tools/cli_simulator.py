@@ -19,6 +19,12 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# Session-level tools are dispatch-latency-bound: default to the local CPU
+# backend (RIA_PLATFORM=axon selects the real TPU).
+from ria_tpu.utils.platform import apply_platform
+
+apply_platform(_os.environ.get("RIA_PLATFORM", "cpu"))
+
 import argparse
 import sys
 import time
@@ -57,6 +63,9 @@ def run_session(args, seed: int) -> dict:
         return result
     result["connected"] = True
     link = sim.alpha.conn.link
+    result["link"] = (f"{link.waveform.name} {link.modulation} {link.rate}"
+                      + (f" x{link.spreading}" if link.spreading > 1 else ""))
+    result["connect_s"] = sim.ticks * sim.block_ms / 1000.0
     print(f"  seed {seed}: connected in {sim.ticks * sim.block_ms / 1000:.1f}s virtual "
           f"-> {link.waveform.name} {link.modulation} {link.rate}"
           + (f" spread{link.spreading}x" if link.spreading > 1 else ""))
