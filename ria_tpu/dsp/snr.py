@@ -7,14 +7,15 @@ selection tables were calibrated against the simulator's SNR definition
 (noise_std = signal_rms * 10^(-SNR/20), white over the full 48 kHz band —
 src/sim/hf_channel.hpp:125-128).
 
-Here we measure it instead: Welch-averaged periodogram, noise floor from
-out-of-band bins (the SSB signal occupies <2.8 kHz of the 24 kHz Nyquist
-band, so 4-20 kHz is noise-only), in-band signal power as the above-floor
-excess.  Reported SNR uses the same full-band-noise convention the
-selection tables expect.  Unlike the differential-phase-variance estimate
-(which floors at ~13 dB from inter-carrier leakage), this tracks SNR from
-below -14 dB to 30+ dB, so mode negotiation can reach the coherent-QAM
-rates without sim-truth side channels.
+Here we measure it instead: Welch-averaged periodogram (4-term
+Blackman-Harris, -92 dB sidelobes), noise floor preferably from a
+noise-only reference window (the inter-frame gap before the preamble),
+in-band signal power as the above-floor excess.  Reported SNR uses the
+same full-band-noise convention the selection tables expect.  Unlike the
+differential-phase-variance estimate (which floors at ~13 dB from
+inter-carrier leakage), this tracks SNR from below -14 dB to 30+ dB, so
+mode negotiation can reach the coherent-QAM rates without sim-truth side
+channels.
 """
 
 from __future__ import annotations
@@ -35,41 +36,60 @@ def _blackman_harris(n: int) -> np.ndarray:
             - a[3] * np.cos(6 * np.pi * k / n))
 
 
-def spectral_snr_db(audio: np.ndarray, fs: float = 48000.0,
-                    signal_band: tuple[float, float] = (300.0, 2800.0),
-                    noise_band: tuple[float, float] = (8000.0, 22000.0),
-                    nfft: int = 4096) -> float:
-    """Estimate full-band-noise SNR of a bandlimited signal in white noise.
-
-    audio: real samples containing (mostly) the frame of interest.
-    Returns 10*log10(P_signal / P_noise_total) with P_noise_total the noise
-    power over the whole Nyquist band — the simulator's SNR definition.
-    """
-    x = np.asarray(audio, np.float64)
-    hop = nfft // 2
-    n_seg = max((len(x) - nfft) // hop + 1, 1)
+def _psd_segments(x: np.ndarray, nfft: int) -> np.ndarray:
+    """50%-overlap windowed periodograms, [n_seg, nfft//2+1]."""
+    x = np.asarray(x, np.float64)
     if len(x) < nfft:
         x = np.pad(x, (0, nfft - len(x)))
+    hop = nfft // 2
+    n_seg = max((len(x) - nfft) // hop + 1, 1)
     idx = np.arange(nfft)[None, :] + hop * np.arange(n_seg)[:, None]
-    segs = x[idx]
     win = _window_cache.get(nfft)
     if win is None:
         win = _blackman_harris(nfft)
         _window_cache[nfft] = win
-    per_seg = np.abs(np.fft.rfft(segs * win, axis=-1)) ** 2
+    return np.abs(np.fft.rfft(x[idx] * win, axis=-1)) ** 2
 
+
+def spectral_snr_db(audio: np.ndarray, fs: float = 48000.0,
+                    signal_band: tuple[float, float] = (300.0, 2800.0),
+                    noise_band: tuple[float, float] = (8000.0, 22000.0),
+                    nfft: int = 4096,
+                    noise_ref: np.ndarray | None = None) -> float:
+    """Estimate full-band-noise SNR of a bandlimited signal in white noise.
+
+    audio: real samples containing (mostly) the frame of interest.
+    noise_ref: optional noise-only samples (e.g. the inter-frame gap just
+    before the preamble).  When given, the noise floor is measured from it
+    IN-BAND, which is immune to the modem's own out-of-band sidelobes (a
+    ~3 dB floor bias at 25+ dB SNR when the TX band filter is off — the
+    reference's default) and stays correct when the receiver's SSB filter
+    has already stripped out-of-band noise (real radio audio).
+    Returns 10*log10(P_signal / P_noise_total) with P_noise_total the noise
+    power over the whole Nyquist band — the simulator's SNR definition.
+    """
     freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
-    nz = (freqs >= noise_band[0]) & (freqs <= noise_band[1])
     sg = (freqs >= signal_band[0]) & (freqs <= signal_band[1])
-    # Noise floor: median across segments per bin (robust to the frame's
-    # on/off transients — one wideband segment must not lift the floor),
-    # then median over noise bins (robust to narrowband interferers).
-    # chi^2_2 median = ln(2) * mean — undo the bias.
-    if n_seg > 2:
-        noise_psd = np.median(per_seg[:, nz], axis=0) / np.log(2.0)
-    else:
-        noise_psd = np.mean(per_seg[:, nz], axis=0)
-    noise_bin = float(np.median(noise_psd)) if nz.any() else float(np.mean(per_seg))
+
+    noise_bin = 0.0
+    if noise_ref is not None and len(noise_ref) >= nfft:
+        # In-band floor from the noise-only window.  Median over all
+        # (segment, bin) periodogram values; chi^2_2 median = ln(2)*mean.
+        flat = _psd_segments(noise_ref, nfft)[:, sg].ravel()
+        if flat.size:
+            noise_bin = float(np.median(flat)) / np.log(2.0)
+
+    per_seg = _psd_segments(audio, nfft)
+    if noise_bin <= 0.0:
+        # Fall back to the out-of-band floor of the frame itself.
+        nz = (freqs >= noise_band[0]) & (freqs <= noise_band[1])
+        # Median across segments per bin (robust to on/off transients),
+        # then median over noise bins (robust to narrowband interferers).
+        if per_seg.shape[0] > 2:
+            noise_psd = np.median(per_seg[:, nz], axis=0) / np.log(2.0)
+        else:
+            noise_psd = np.mean(per_seg[:, nz], axis=0)
+        noise_bin = float(np.median(noise_psd)) if nz.any() else float(np.mean(per_seg))
     noise_bin = max(noise_bin, 1e-30)
 
     # Signal power: plain mean across segments (the signal is not

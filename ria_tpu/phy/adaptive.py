@@ -66,6 +66,74 @@ class AdaptiveModeController:
         return True
 
 
+_MOD_BITS = {"BPSK": 1, "DBPSK": 1, "QPSK": 2, "DQPSK": 2, "D8PSK": 3,
+             "QAM16": 4, "QAM32": 5, "QAM64": 6, "QAM256": 8}
+_RATE_VAL = {"R1_4": 0.25, "R1_2": 0.5, "R2_3": 2 / 3, "R3_4": 0.75,
+             "R5_6": 5 / 6}
+
+
+def mode_efficiency(modulation: str, rate: str) -> float:
+    return _MOD_BITS.get(modulation, 1) * _RATE_VAL.get(rate, 0.25)
+
+
+class LinkAdapter:
+    """In-session link adaptation (reference App::updateAdaptiveAdvisory,
+    src/gui/app.cpp:1914-2010): average (SNR, fading) over a 5-frame
+    window, re-run recommend_data_mode, and switch only after the same
+    candidate persists 4 windows for upgrades (plus an 8 s hold since the
+    last switch) or 2 windows for downgrades.  Returns the (mod, rate,
+    spreading) to request, or None."""
+
+    WINDOW_FRAMES = 5
+    UPGRADE_WINDOWS = 4
+    DOWNGRADE_WINDOWS = 2
+    UPGRADE_HOLD_MS = 8000
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._snr: list[float] = []
+        self._fading: list[float] = []
+        self._candidate: tuple[str, str, int] | None = None
+        self._hits = 0
+        self._last_switch_ms = 0.0
+
+    def feed(self, snr_db: float, fading_index: float, now_ms: float,
+             waveform, current_mod: str, current_rate: str):
+        from ria_tpu.wave.selection import recommend_data_mode
+
+        self._snr.append(float(snr_db))
+        self._fading.append(float(fading_index))
+        if len(self._snr) > self.WINDOW_FRAMES:
+            self._snr.pop(0)
+            self._fading.pop(0)
+        if len(self._snr) < self.WINDOW_FRAMES:
+            return None
+        avg_snr = sum(self._snr) / len(self._snr)
+        avg_fading = sum(self._fading) / len(self._fading)
+
+        rec = recommend_data_mode(avg_snr, waveform, avg_fading)
+        if (rec[0], rec[1]) == (current_mod, current_rate):
+            self._candidate, self._hits = None, 0
+            return None
+        if self._candidate == rec:
+            self._hits += 1
+        else:
+            self._candidate, self._hits = rec, 1
+
+        is_upgrade = (mode_efficiency(rec[0], rec[1])
+                      > mode_efficiency(current_mod, current_rate) + 0.05)
+        required = self.UPGRADE_WINDOWS if is_upgrade else self.DOWNGRADE_WINDOWS
+        if self._hits < required:
+            return None
+        if is_upgrade and now_ms - self._last_switch_ms < self.UPGRADE_HOLD_MS:
+            return None
+        self._last_switch_ms = now_ms
+        self._candidate, self._hits = None, 0
+        return rec, is_upgrade, avg_snr, avg_fading
+
+
 class CarrierSense:
     """EMA RMS energy vs threshold (listen-before-talk)."""
 

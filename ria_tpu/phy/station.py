@@ -67,9 +67,13 @@ class Station:
         self._mfsk_wf = None  # lazy MFSK fallback waveform
 
         self.tx_queue: list[np.ndarray] = []
-        # ModemEngine::postProcessTx parity (modem_engine.hpp:356): every
-        # transmission passes the band FIR.  Lead-in is 0 here — PTT lead
-        # timing lives in runtime/cat.py, not in the sample stream.
+        # ModemEngine::postProcessTx parity (modem_engine.hpp:356).  The
+        # band FIR is OFF by default like the reference's FilterConfig
+        # (modem_types.hpp:105-111, "radio's SSB filter sufficient") — a
+        # ~100-tap FIR at 48 kHz has a >1 kHz transition band that shades
+        # the outer OFDM carriers and reads as fading.  Lead-in is 0 here;
+        # PTT lead timing lives in runtime/cat.py, not the sample stream.
+        self.tx_filter_enabled = False
         self.tx_lead_in_ms = 0.0
         self.rx_buffer = np.zeros(0, np.float32)
         self.max_buffer = 48000 * 20
@@ -77,8 +81,11 @@ class Station:
         self._searched_len = -1  # skip re-search until new audio arrives
 
         from ria_tpu.fec.chase import ChaseCache
+        from ria_tpu.phy.adaptive import LinkAdapter
 
         self.chase = ChaseCache()
+        self.link_adapter = LinkAdapter()
+        self._now_ms = 0.0
 
         self.conn.on_transmit = self._on_conn_transmit
         self.conn.on_ping_tx = self._tx_ping
@@ -96,10 +103,14 @@ class Station:
         self.stats.frames_tx += 1
 
     def _enqueue_tx(self, samples: np.ndarray):
-        from ria_tpu.phy.adaptive import tx_post_process
+        if self.tx_filter_enabled:
+            from ria_tpu.phy.adaptive import tx_post_process
 
-        self.tx_queue.append(tx_post_process(samples,
-                                             lead_in_ms=self.tx_lead_in_ms))
+            samples = tx_post_process(samples, lead_in_ms=0.0)
+        if self.tx_lead_in_ms:
+            lead = np.zeros(int(48 * self.tx_lead_in_ms), np.float32)
+            samples = np.concatenate([lead, np.asarray(samples, np.float32)])
+        self.tx_queue.append(np.asarray(samples, np.float32))
 
     @property
     def mfsk_wf(self):
@@ -271,6 +282,7 @@ class Station:
             self.conn.measured_snr_db = rx.snr_db
             self.conn.measured_fading = rx.fading_index
             self.conn.on_frame_received(rx.frame_bytes)
+            self._feed_link_adapter(rx)
             return
 
         # Failed decode: if we likely have the whole frame, skip this sync.
@@ -323,6 +335,25 @@ class Station:
         return (2 + S) * cfg.symbol_samples
 
     # ------------------------------------------------------------------ tick
+    def _feed_link_adapter(self, rx):
+        """In-session link adaptation (App::updateAdaptiveAdvisory parity,
+        src/gui/app.cpp:1914-2010): feed every decoded frame's measured
+        (SNR, fading) while CONNECTED; on a confirmed recommendation issue
+        a MODE_CHANGE unless the user forced a modulation."""
+        if (self.conn.state != ConnectionState.CONNECTED
+                or self.conn.config.forced_modulation):
+            return
+        link = self.conn.link
+        decision = self.link_adapter.feed(rx.snr_db, rx.fading_index,
+                                          self._now_ms, link.waveform,
+                                          link.modulation, link.rate)
+        if decision is None:
+            return
+        (mod, rate, spreading), is_upgrade, avg_snr, avg_fading = decision
+        reason = 0 if is_upgrade else 1  # CHANNEL_IMPROVED / CHANNEL_DEGRADED
+        self.conn.request_mode_change(mod, rate, reason=reason)
+
     def tick(self, elapsed_ms: int):
+        self._now_ms += elapsed_ms
         self.poll()
         self.conn.tick(elapsed_ms)

@@ -456,6 +456,12 @@ class Connection:
                         spreading=self.link.spreading)
         if p[5] & 0x80:
             link.waveform = WaveformMode(p[5] & 0x7F)
+        if link.waveform == WaveformMode.MC_DPSK:
+            # Spreading follows the peer's reported SNR (reference
+            # modem_mode.cpp:93-128 derives MC-DPSK DATA spreading from the
+            # MODE_CHANGE payload's peer_snr) so both ends stay aligned.
+            _, _, link.spreading = recommend_data_mode(
+                decode_snr(p[2]), WaveformMode.MC_DPSK)
         self.link = link
         ack = ControlFrame.make_ack(self.local_call, self.remote_hash, ctrl.seq)
         self._tx(ack.serialize(), handshake=False)
@@ -471,9 +477,16 @@ class Connection:
             MOD_ENUM[modulation], rate, self.measured_snr_db,
             self.measured_fading, reason, waveform)
         self._tx(f.serialize(), handshake=False)
+        spreading = self.link.spreading
+        if (waveform or self.link.waveform) == WaveformMode.MC_DPSK:
+            # Mirror the receiver's derivation (see _handle_mode_change):
+            # both ends compute spreading from the same encoded SNR byte.
+            _, _, spreading = recommend_data_mode(
+                decode_snr(encode_snr(self.measured_snr_db)),
+                WaveformMode.MC_DPSK)
         self.link = LinkMode(waveform=waveform or self.link.waveform,
                              modulation=modulation, rate=rate,
-                             spreading=self.link.spreading)
+                             spreading=spreading)
         if self.on_mode_changed:
             self.on_mode_changed(self.link)
         return True

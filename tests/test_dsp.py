@@ -91,3 +91,33 @@ def test_carrier_sense():
     for _ in range(200):
         cs.update(np.zeros(100, np.float32))
     assert not cs.busy
+
+
+def test_spectral_snr_tracks_true_snr():
+    """dsp/snr.py must track from -10 to 30 dB (the phase-variance estimate
+    floored at ~13 dB, which blocked QAM negotiation entirely)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ria_tpu.dsp.snr import spectral_snr_db
+    from ria_tpu.phy.adaptive import tx_post_process
+    from ria_tpu.phy.frame_v2 import DataFrame, WaveformMode
+    from ria_tpu.sim import PRESETS, apply_channel
+    from ria_tpu.wave.api import create_waveform
+
+    wf = create_waveform(WaveformMode.MC_DPSK, "DBPSK", "R1_4")
+    frame = DataFrame.make_data("W1AW", "VE3ABC", 1, b"snr estimator payload")
+    tx = tx_post_process(wf.tx_frame(frame.serialize()), lead_in_ms=0.0)
+    for true_snr, tol in ((-10, 4.0), (0, 3.0), (12, 3.0), (25, 3.5)):
+        ch = PRESETS["awgn"](true_snr)
+        out = np.asarray(apply_channel(jnp.asarray(tx), jax.random.PRNGKey(3), ch).samples)
+        est = spectral_snr_db(out)
+        assert abs(est - true_snr) <= tol, (true_snr, est)
+
+
+def test_spectral_snr_noise_only_reports_floor():
+    from ria_tpu.dsp.snr import spectral_snr_db
+
+    rng = np.random.default_rng(0)
+    noise = rng.normal(0, 1, 48000).astype(np.float32)
+    assert spectral_snr_db(noise) < -10.0

@@ -353,3 +353,66 @@ def test_probe_channel_report():
     r = reports[0]
     assert abs(r.snr_db - 18.5) < 0.3
     assert r.recommended_mode == 5  # OFDM_CHIRP for 18.5 dB AWGN-ish
+
+
+def test_ping_detect_at_low_snr():
+    """Carrier-combined PING (single-carrier-DPSK-equivalent energy,
+    frame_v2.hpp:363-375) must survive -8 dB good fading most of the time
+    (was 3/10 when raw bits were striped across carriers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ria_tpu.phy.station import Station
+    from ria_tpu.sim import PRESETS, apply_channel
+
+    ok = 0
+    for s in range(5):
+        tx_st = Station("W1AW")
+        rx_st = Station("VE3ABC")
+        tx_st._tx_ping()
+        ping = tx_st.tx_queue[0]
+        audio = np.concatenate([np.zeros(4000, np.float32), ping,
+                                np.zeros(6000, np.float32)])
+        out = np.asarray(apply_channel(jnp.asarray(audio), jax.random.PRNGKey(50 + s),
+                                       PRESETS["good"](-8.0)).samples)
+        got = []
+        rx_st.conn.notify_ping_received = lambda: got.append(1)
+        rx_st.feed_audio(out)
+        rx_st.poll()
+        ok += bool(got)
+    assert ok >= 4, f"PING rx {ok}/5 at -8 dB good fading"
+
+
+def test_link_adapter_upgrade_confirmation():
+    """Reference App::updateAdaptiveAdvisory: upgrades need a full 5-frame
+    window, 4 consecutive candidate windows AND the 8 s hold; downgrades
+    confirm after 2 windows."""
+    from ria_tpu.phy.adaptive import LinkAdapter
+    from ria_tpu.phy.frame_v2 import WaveformMode
+
+    la = LinkAdapter()
+    # 25 dB AWGN measurements while running DQPSK R1_4 on OFDM.
+    decision = None
+    t = 0.0
+    for i in range(20):
+        t += 1000.0
+        decision = la.feed(25.0, 0.05, t, WaveformMode.OFDM_CHIRP, "DQPSK", "R1_4")
+        if decision:
+            break
+    assert decision is not None
+    (mod, rate, _), is_upgrade, avg_snr, _ = decision
+    assert is_upgrade and mod == "QAM64" and rate == "R3_4"
+    assert t >= 8000.0  # held for the upgrade hold time
+    # Downgrade confirms faster (2 windows, no hold).
+    la2 = LinkAdapter()
+    d2 = None
+    steps = 0
+    for i in range(20):
+        steps += 1
+        d2 = la2.feed(2.0, 0.3, 1000.0 * steps, WaveformMode.MC_DPSK, "DQPSK", "R1_4")
+        if d2:
+            break
+    assert d2 is not None
+    (mod2, _, spread2), up2, _, _ = d2
+    assert not up2 and mod2 == "DBPSK"
+    assert steps <= 7  # 5-frame window + 2 confirm windows

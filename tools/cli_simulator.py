@@ -111,6 +111,11 @@ def run_session(args, seed: int) -> dict:
     result["disconnected"] = sim.bravo.conn.state == ConnectionState.DISCONNECTED
     result["retransmissions"] = sim.alpha.conn.arq.stats.retransmissions
     result["chase"] = sim.bravo.chase.stats.recoveries
+    final = sim.alpha.conn.link
+    result["final_link"] = (f"{final.waveform.name} {final.modulation} {final.rate}"
+                            + (f" x{final.spreading}" if final.spreading > 1 else ""))
+    if result["final_link"] != result.get("link"):
+        print(f"  seed {seed}: link adapted -> {result['final_link']}")
     print(f"  seed {seed}: {result['messages']}/{args.num_messages} msgs, "
           f"retx={result['retransmissions']}, chase_recoveries={result['chase']}, "
           f"disconnect={'clean' if result['disconnected'] else 'DIRTY'}, "
