@@ -327,3 +327,181 @@ uint16_t crc16_ccitt(const uint8_t* data, size_t len) {
 }
 
 }  // extern "C"
+
+// ============================================================================
+// TcpServer: select()-based multi-client TCP server (reference
+// src/interface/tcp_server.{hpp,cpp} — single-threaded, non-blocking accept/
+// read, best-effort writes).  Drives the host-control interface's command/
+// data/KISS ports (interface.hpp:13-16) natively; the Python layer only
+// parses command lines.  Event model: poll() multiplexes accept + reads and
+// queues (type, client, payload) events the host drains with next_event().
+// ============================================================================
+
+#include <deque>
+#include <map>
+
+#include <arpa/inet.h>
+#include <fcntl.h>
+#include <netinet/in.h>
+#include <sys/select.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+namespace {
+
+struct TcpEvent {
+    int type;  // 1=connect 2=disconnect 3=data
+    int client;
+    std::vector<uint8_t> payload;
+};
+
+struct TcpServer {
+    int listener = -1;
+    int port = 0;
+    int next_id = 1;
+    std::map<int, int> clients;  // client id -> fd
+    std::deque<TcpEvent> events;
+};
+
+void set_nonblocking(int fd) {
+    int flags = fcntl(fd, F_GETFL, 0);
+    fcntl(fd, F_SETFL, flags | O_NONBLOCK);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns handle or nullptr.  port 0 = ephemeral (query with tcp_port).
+void* tcp_create(const char* bind_addr, int port) {
+    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) return nullptr;
+    int one = 1;
+    setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons((uint16_t)port);
+    if (inet_pton(AF_INET, bind_addr ? bind_addr : "127.0.0.1", &addr.sin_addr) != 1 ||
+        bind(fd, (sockaddr*)&addr, sizeof(addr)) != 0 || listen(fd, 8) != 0) {
+        ::close(fd);
+        return nullptr;
+    }
+    set_nonblocking(fd);
+    socklen_t len = sizeof(addr);
+    getsockname(fd, (sockaddr*)&addr, &len);
+    auto* s = new TcpServer();
+    s->listener = fd;
+    s->port = ntohs(addr.sin_port);
+    return s;
+}
+
+int tcp_port(void* h) { return static_cast<TcpServer*>(h)->port; }
+
+int tcp_client_count(void* h) {
+    return (int)static_cast<TcpServer*>(h)->clients.size();
+}
+
+// Multiplex accept + reads for up to timeout_ms; queue events.
+// Returns the number of queued events.
+int tcp_poll(void* h, int timeout_ms) {
+    auto* s = static_cast<TcpServer*>(h);
+    fd_set rfds;
+    FD_ZERO(&rfds);
+    FD_SET(s->listener, &rfds);
+    int maxfd = s->listener;
+    for (auto& [id, fd] : s->clients) {
+        FD_SET(fd, &rfds);
+        if (fd > maxfd) maxfd = fd;
+    }
+    timeval tv{timeout_ms / 1000, (timeout_ms % 1000) * 1000};
+    int n = select(maxfd + 1, &rfds, nullptr, nullptr, &tv);
+    if (n <= 0) return (int)s->events.size();
+
+    if (FD_ISSET(s->listener, &rfds)) {
+        int cfd;
+        while ((cfd = accept(s->listener, nullptr, nullptr)) >= 0) {
+            set_nonblocking(cfd);
+            int id = s->next_id++;
+            s->clients[id] = cfd;
+            s->events.push_back({1, id, {}});
+        }
+    }
+    std::vector<int> dead;
+    for (auto& [id, fd] : s->clients) {
+        if (!FD_ISSET(fd, &rfds)) continue;
+        uint8_t buf[65536];
+        ssize_t got = recv(fd, buf, sizeof(buf), 0);
+        if (got <= 0) {
+            dead.push_back(id);
+        } else {
+            s->events.push_back({3, id, std::vector<uint8_t>(buf, buf + got)});
+        }
+    }
+    for (int id : dead) {
+        ::close(s->clients[id]);
+        s->clients.erase(id);
+        s->events.push_back({2, id, {}});
+    }
+    return (int)s->events.size();
+}
+
+// Pop one event.  Returns payload length (>=0) and fills type/client, or -1
+// when the queue is empty.  Payloads longer than buf_cap are truncated to
+// buf_cap (callers size buf_cap at the recv chunk size, so this is lossless).
+int tcp_next_event(void* h, int* type, int* client, uint8_t* buf, int buf_cap) {
+    auto* s = static_cast<TcpServer*>(h);
+    if (s->events.empty()) return -1;
+    TcpEvent ev = std::move(s->events.front());
+    s->events.pop_front();
+    *type = ev.type;
+    *client = ev.client;
+    int n = (int)ev.payload.size();
+    if (n > buf_cap) n = buf_cap;
+    if (n > 0) memcpy(buf, ev.payload.data(), (size_t)n);
+    return n;
+}
+
+int tcp_send(void* h, int client, const uint8_t* data, int n) {
+    auto* s = static_cast<TcpServer*>(h);
+    auto it = s->clients.find(client);
+    if (it == s->clients.end()) return -1;
+    // Best-effort like the reference TcpServer: a slow client drops bytes
+    // rather than blocking the modem tick loop.
+    int sent = 0;
+    while (sent < n) {
+        ssize_t w = send(it->second, data + sent, (size_t)(n - sent), MSG_NOSIGNAL);
+        if (w <= 0) break;
+        sent += (int)w;
+    }
+    return sent;
+}
+
+int tcp_broadcast(void* h, const uint8_t* data, int n) {
+    auto* s = static_cast<TcpServer*>(h);
+    int count = 0;
+    for (auto& [id, fd] : s->clients) {
+        (void)fd;
+        if (tcp_send(h, id, data, n) == n) count++;
+    }
+    return count;
+}
+
+void tcp_close_client(void* h, int client) {
+    auto* s = static_cast<TcpServer*>(h);
+    auto it = s->clients.find(client);
+    if (it == s->clients.end()) return;
+    ::close(it->second);
+    s->clients.erase(it);
+}
+
+void tcp_destroy(void* h) {
+    auto* s = static_cast<TcpServer*>(h);
+    for (auto& [id, fd] : s->clients) {
+        (void)id;
+        ::close(fd);
+    }
+    if (s->listener >= 0) ::close(s->listener);
+    delete s;
+}
+
+}  // extern "C"

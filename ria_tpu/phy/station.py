@@ -128,7 +128,14 @@ class Station:
             self._enqueue_tx(np.asarray(wf.tx_frame(frame_bytes), np.float32))
             self.stats.frames_tx += 1
             return
-        if handshake or self.conn.state != ConnectionState.CONNECTED:
+        # DISCONNECTING is still connected-mode traffic: the reference only
+        # reconfigures the modem in enterDisconnected, so DISCONNECT
+        # retransmits and disconnect ACKs ride the negotiated data waveform
+        # (a chirp-preamble retransmit would false-sync the peer's LTS
+        # search and never decode).
+        in_session = self.conn.state in (ConnectionState.CONNECTED,
+                                         ConnectionState.DISCONNECTING)
+        if handshake or not in_session:
             # After the DPSK budget, handshake frames ride the MFSK
             # last-resort waveform (connection.hpp:29-33).
             if handshake and self.conn.use_mfsk_fallback:
@@ -213,7 +220,8 @@ class Station:
             return
         self._searched_len = len(self.rx_buffer)
 
-        connected = self.conn.state == ConnectionState.CONNECTED
+        connected = self.conn.state in (ConnectionState.CONNECTED,
+                                        ConnectionState.DISCONNECTING)
         wf = self.data_wf if connected else self.handshake_wf
         light = connected
 

@@ -24,6 +24,7 @@ from typing import Callable
 
 from ria_tpu.fec.ldpc_matrix import RATE_ENUM
 from ria_tpu.phy.frame_v2 import (
+    DISCONNECT_SEQ,
     ConnectFrame, ControlFrame, DataFrame, Flags, FrameType, WaveformMode,
     decode_snr, encode_snr, decode_fading_index, encode_fading_index,
     fixed_frame_payload_capacity, hash_callsign,
@@ -64,6 +65,7 @@ class ConnectionConfig:
     connect_retries: int = 10   # 5 DPSK attempts + 5 MFSK attempts
     dpsk_connect_attempts: int = 5  # switch to MFSK fallback after these
     keepalive_interval_ms: int = 30000
+    disconnect_timeout_ms: int = 30000
     auto_accept: bool = True
     mode_capabilities: int = 0x3F | 0x40
     preferred_mode: WaveformMode = WaveformMode.AUTO
@@ -124,6 +126,16 @@ class Connection:
         # this, a send while the previous frame's ACK is still in flight
         # would be dropped).  Entries are (payload_chunk, frag_flags).
         self._tx_msg_queue: list[tuple[bytes, int]] = []
+        # Reliable disconnect handshake (connection.cpp:305-328, :956-1002):
+        # initiator retransmits DISCONNECT until ACKed; responder holds a
+        # grace period, proactively re-sending the ACK, before dropping.
+        self._disc_frame: bytes | None = None
+        self._disc_timeout_ms = 0
+        self._disc_retx_ms = 0
+        self._disc_retries = 0
+        self._disc_ack_frame: bytes | None = None
+        self._disc_pending_ms = 0
+        self._disc_ack_retx_ms = 0
 
     # ------------------------------------------------------------ plumbing
     def _wire_arq(self):
@@ -162,15 +174,27 @@ class Connection:
             self.on_ping_tx()
         return True
 
+    DISCONNECT_RETRANSMIT_INTERVAL_MS = 5000
+    DISCONNECT_MAX_RETRIES = 3
+    DISCONNECT_GRACE_MS = 5000
+    DISCONNECT_ACK_RETRANSMIT_MS = 2000
+
     def disconnect(self):
         if self.state != ConnectionState.CONNECTED:
             self._enter_disconnected("local abort")
             return
         f = ConnectFrame(type=FrameType.DISCONNECT, src_callsign=self.local_call,
                          dst_callsign=self.remote_call)
-        self._tx(f.serialize(), handshake=False)
+        self._disc_frame = f.serialize()
+        self._tx(self._disc_frame, handshake=False)
         self.stats.disconnects += 1
-        self._enter_disconnected("local disconnect")
+        # Reliable teardown (connection.cpp:305-328): wait for the peer's
+        # ACK, retransmitting DISCONNECT on fading loss; a timeout forces
+        # the local drop so an unreachable peer can't wedge us.
+        self.state = ConnectionState.DISCONNECTING
+        self._disc_timeout_ms = self.config.disconnect_timeout_ms
+        self._disc_retx_ms = self.DISCONNECT_RETRANSMIT_INTERVAL_MS
+        self._disc_retries = 0
 
     def abort_tx_now(self):
         """Drop all pending TX state immediately (Connection::abortTxNow)."""
@@ -335,6 +359,10 @@ class Connection:
         self.remote_call = ""
         self.remote_hash = 0
         self._rx_fragments = []
+        self._disc_frame = None
+        self._disc_timeout_ms = self._disc_retx_ms = self._disc_retries = 0
+        self._disc_ack_frame = None
+        self._disc_pending_ms = self._disc_ack_retx_ms = 0
         self.arq.reset()
         if prev != ConnectionState.DISCONNECTED and self.on_disconnected:
             self.on_disconnected(reason)
@@ -357,9 +385,19 @@ class Connection:
                 self._enter_disconnected("rejected")
             return
         if conn is not None and conn.type == FrameType.DISCONNECT:
-            self._tx(ControlFrame.make_ack(self.local_call, hash_callsign(conn.src_callsign),
-                                           0xFFFF).serialize(), handshake=False)
-            self._enter_disconnected("remote disconnect")
+            if self.state == ConnectionState.DISCONNECTED:
+                return
+            # Grace period (connection_handlers.cpp:304-331): ACK and stay
+            # up so a lost ACK can be re-sent when the initiator
+            # retransmits; drop only after the grace expires.
+            self._disc_ack_frame = ControlFrame.make_ack(
+                self.local_call, hash_callsign(conn.src_callsign),
+                DISCONNECT_SEQ).serialize()
+            self._tx(self._disc_ack_frame, handshake=False)
+            if not self._disc_pending_ms:
+                self.stats.disconnects += 1
+            self._disc_pending_ms = self.DISCONNECT_GRACE_MS
+            self._disc_ack_retx_ms = self.DISCONNECT_ACK_RETRANSMIT_MS
             return
         if ctrl is not None:
             if ctrl.type == FrameType.BEACON:
@@ -397,8 +435,12 @@ class Connection:
                     self.on_probe_report(ChannelReport.decode(ctrl.payload))
                 return
             if ctrl.type in (FrameType.ACK, FrameType.NACK):
-                if ctrl.seq == 0xFFFF:
-                    return  # disconnect ack
+                if ctrl.seq == DISCONNECT_SEQ:
+                    if self.state == ConnectionState.DISCONNECTING:
+                        self._enter_disconnected("disconnect complete")
+                    return
+                if self.state == ConnectionState.DISCONNECTING:
+                    return  # stale data ACK while tearing down
                 self.arq.on_frame_received(frame_bytes)
                 return
         if df is not None and 0x30 <= int(df.type) <= 0x33:
@@ -514,6 +556,22 @@ class Connection:
                 else:
                     self._send_connect()
         elif self.state == ConnectionState.CONNECTED:
+            # Disconnect grace period (responder side, connection.cpp:956-976):
+            # stay connected, re-send the ACK periodically in case fading ate
+            # it, and drop once the initiator has gone silent.
+            if self._disc_pending_ms:
+                if elapsed_ms >= self._disc_pending_ms:
+                    self._enter_disconnected("remote disconnect")
+                    return
+                self._disc_pending_ms -= elapsed_ms
+                if self._disc_ack_frame is not None:
+                    if elapsed_ms >= self._disc_ack_retx_ms:
+                        self._disc_ack_retx_ms = self.DISCONNECT_ACK_RETRANSMIT_MS
+                        self._tx(self._disc_ack_frame, handshake=False)
+                    else:
+                        self._disc_ack_retx_ms -= elapsed_ms
+                self.arq.tick(elapsed_ms)
+                return
             self.arq.tick(elapsed_ms)
             self._drain_tx_queue()
             self._keepalive_timer += elapsed_ms
@@ -521,3 +579,18 @@ class Connection:
                 self._keepalive_timer = 0
                 f = ControlFrame.make_keepalive(self.local_call, self.remote_call)
                 self._tx(f.serialize(), handshake=False)
+        elif self.state == ConnectionState.DISCONNECTING:
+            # Initiator side (connection.cpp:981-1002): retransmit the
+            # DISCONNECT until ACKed; force the drop on timeout.
+            if elapsed_ms >= self._disc_timeout_ms:
+                self._enter_disconnected("disconnect timeout")
+                return
+            self._disc_timeout_ms -= elapsed_ms
+            if elapsed_ms >= self._disc_retx_ms:
+                self._disc_retx_ms = self.DISCONNECT_RETRANSMIT_INTERVAL_MS
+                if (self._disc_retries < self.DISCONNECT_MAX_RETRIES
+                        and self._disc_frame is not None):
+                    self._disc_retries += 1
+                    self._tx(self._disc_frame, handshake=False)
+            else:
+                self._disc_retx_ms -= elapsed_ms

@@ -129,18 +129,90 @@ class _TcpServer:
         self.listener.close()
 
 
+class _NativeClientHandle:
+    """sendall()-compatible wrapper so command handlers can reply to one
+    client regardless of backend."""
+
+    def __init__(self, srv, cid: int):
+        self._srv, self._cid = srv, cid
+
+    def sendall(self, data: bytes):
+        self._srv.send(self._cid, data)
+
+
+class _NativeServerAdapter:
+    """C++ TcpServer (native/ria_native.cpp) behind the same surface as
+    _TcpServer: per-client line buffers, on_data(conn, buf) callbacks,
+    broadcast, close.  Selected automatically when the native library is
+    available (the reference's TcpServer is C++; this keeps the host-control
+    plane native with Python only parsing command lines)."""
+
+    def __init__(self, port: int, on_data):
+        from ria_tpu.runtime.native import NativeTcpServer
+
+        self.srv = NativeTcpServer(port)
+        self.port = self.srv.port
+        self.on_data = on_data
+        self.buffers: dict[int, bytearray] = {}
+        self.handles: dict[int, _NativeClientHandle] = {}
+
+    def poll(self, timeout_ms: int = 0):
+        self.srv.poll(timeout_ms)
+        for ev, cid, payload in self.srv.drain():
+            if ev == "connect":
+                self.buffers[cid] = bytearray()
+                self.handles[cid] = _NativeClientHandle(self.srv, cid)
+            elif ev == "disconnect":
+                self.buffers.pop(cid, None)
+                self.handles.pop(cid, None)
+            else:
+                buf = self.buffers.setdefault(cid, bytearray())
+                buf.extend(payload)
+                if len(buf) > RX_BUFFER_CAP:
+                    del buf[: len(buf) - RX_BUFFER_CAP]
+                self.on_data(self.handles.setdefault(
+                    cid, _NativeClientHandle(self.srv, cid)), buf)
+
+    def broadcast(self, data: bytes):
+        self.srv.broadcast(data)
+
+    def close(self):
+        self.srv.close()
+
+
+def _native_tcp_available() -> bool:
+    from ria_tpu.runtime.native import available
+
+    return available()
+
+
 class HostInterface:
-    """Binds TCP servers to a ProtocolEngine/Station pair."""
+    """Binds TCP servers to a ProtocolEngine/Station pair.
+
+    backend: "native" (C++ select server), "python" (selectors), or "auto"
+    (native when the toolchain/library is available).
+    """
 
     def __init__(self, engine, station=None, command_port: int = 8300,
-                 data_port: int = 8301, kiss_port: int | None = None):
+                 data_port: int = 8301, kiss_port: int | None = None,
+                 backend: str = "auto"):
         self.engine = engine
         self.station = station
-        self.sel = selectors.DefaultSelector()
-        self.cmd_srv = _TcpServer(self.sel, command_port, self._on_cmd_data)
-        self.data_srv = _TcpServer(self.sel, data_port, self._on_data_data)
-        self.kiss_srv = (_TcpServer(self.sel, kiss_port, self._on_kiss_data)
-                         if kiss_port is not None else None)
+        if backend == "auto":
+            backend = "native" if _native_tcp_available() else "python"
+        self.backend = backend
+        if backend == "native":
+            self.sel = None
+            self.cmd_srv = _NativeServerAdapter(command_port, self._on_cmd_data)
+            self.data_srv = _NativeServerAdapter(data_port, self._on_data_data)
+            self.kiss_srv = (_NativeServerAdapter(kiss_port, self._on_kiss_data)
+                             if kiss_port is not None else None)
+        else:
+            self.sel = selectors.DefaultSelector()
+            self.cmd_srv = _TcpServer(self.sel, command_port, self._on_cmd_data)
+            self.data_srv = _TcpServer(self.sel, data_port, self._on_data_data)
+            self.kiss_srv = (_TcpServer(self.sel, kiss_port, self._on_kiss_data)
+                             if kiss_port is not None else None)
         self.listen = True
         self.forced = {"waveform": "AUTO", "modulation": "AUTO", "coderate": "AUTO"}
         self.ptt_lead_ms = 100
@@ -330,6 +402,14 @@ class HostInterface:
 
     # ------------------------------------------------------------------ tick
     def poll(self, timeout: float = 0.0):
+        if self.sel is None:
+            # Native backend: give the full timeout to the command server
+            # (the usual waiter); data/KISS are drained non-blocking.
+            self.cmd_srv.poll(int(timeout * 1000))
+            self.data_srv.poll(0)
+            if self.kiss_srv:
+                self.kiss_srv.poll(0)
+            return
         for key, _ in self.sel.select(timeout):
             key.data(key.fileobj)
 
@@ -338,4 +418,5 @@ class HostInterface:
         self.data_srv.close()
         if self.kiss_srv:
             self.kiss_srv.close()
-        self.sel.close()
+        if self.sel is not None:
+            self.sel.close()

@@ -68,6 +68,25 @@ def _load():
 
     lib.crc16_ccitt.restype = ctypes.c_uint16
     lib.crc16_ccitt.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+
+    lib.tcp_create.restype = ctypes.c_void_p
+    lib.tcp_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    for fn in (lib.tcp_port, lib.tcp_client_count):
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p]
+    lib.tcp_poll.restype = ctypes.c_int
+    lib.tcp_poll.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.tcp_next_event.restype = ctypes.c_int
+    lib.tcp_next_event.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    for fn in (lib.tcp_send, lib.tcp_broadcast):
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int] \
+            if fn is lib.tcp_broadcast else \
+            [ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.tcp_close_client.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.tcp_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -177,3 +196,64 @@ def crc16_native(data: bytes) -> int:
         return crc16(data)
     buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
     return lib.crc16_ccitt(buf, len(data))
+
+
+class NativeTcpServer:
+    """select()-based multi-client TCP server (native/ria_native.cpp
+    TcpServer; reference src/interface/tcp_server.{hpp,cpp}).
+
+    Event-queue API: poll(timeout_ms) multiplexes accept/read/close and
+    drain() yields (type, client_id, payload) with type in
+    {"connect", "disconnect", "data"}.  Writes are best-effort
+    non-blocking, like the reference (a slow client must not stall the
+    modem tick loop).
+    """
+
+    _EV = {1: "connect", 2: "disconnect", 3: "data"}
+    _CHUNK = 65536
+
+    def __init__(self, port: int = 0, bind_addr: str = "127.0.0.1"):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.tcp_create(bind_addr.encode(), port)
+        if not self._h:
+            raise OSError(f"tcp_create failed for {bind_addr}:{port}")
+        self.port = lib.tcp_port(self._h)
+        self._buf = (ctypes.c_uint8 * self._CHUNK)()
+
+    def __del__(self):
+        self.close()
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.tcp_destroy(self._h)
+            self._h = None
+
+    @property
+    def client_count(self) -> int:
+        return self._lib.tcp_client_count(self._h)
+
+    def poll(self, timeout_ms: int = 0) -> int:
+        return self._lib.tcp_poll(self._h, timeout_ms)
+
+    def drain(self):
+        t, c = ctypes.c_int(), ctypes.c_int()
+        while True:
+            n = self._lib.tcp_next_event(self._h, ctypes.byref(t), ctypes.byref(c),
+                                         self._buf, self._CHUNK)
+            if n < 0:
+                return
+            yield self._EV[t.value], c.value, bytes(self._buf[:n])
+
+    def send(self, client_id: int, data: bytes) -> int:
+        buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+        return self._lib.tcp_send(self._h, client_id, buf, len(data))
+
+    def broadcast(self, data: bytes) -> int:
+        buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+        return self._lib.tcp_broadcast(self._h, buf, len(data))
+
+    def close_client(self, client_id: int):
+        self._lib.tcp_close_client(self._h, client_id)

@@ -9,10 +9,16 @@ from ria_tpu.protocol.engine import ProtocolEngine
 from ria_tpu.runtime.host_interface import HostInterface, kiss_escape, kiss_unescape
 
 
-@pytest.fixture
-def iface():
+@pytest.fixture(params=["python", "native"])
+def iface(request):
+    if request.param == "native":
+        from ria_tpu.runtime.native import available
+
+        if not available():
+            pytest.skip("native library unavailable")
     engine = ProtocolEngine()
-    hi = HostInterface(engine, command_port=0, data_port=0, kiss_port=0)
+    hi = HostInterface(engine, command_port=0, data_port=0, kiss_port=0,
+                       backend=request.param)
     yield hi
     hi.close()
 

@@ -416,3 +416,49 @@ def test_link_adapter_upgrade_confirmation():
     (mod2, _, spread2), up2, _, _ = d2
     assert not up2 and mod2 == "DBPSK"
     assert steps <= 7  # 5-frame window + 2 confirm windows
+
+
+def test_disconnect_survives_frame_loss():
+    """Reliable teardown (connection.cpp:305-328, :956-1002): the initiator
+    retransmits DISCONNECT until ACKed; the responder grace-holds and
+    re-sends the ACK.  Both ends must reach DISCONNECTED even when the
+    first DISCONNECT and the first ACK are lost."""
+    from ria_tpu.protocol.connection import Connection, ConnectionState
+
+    a, b = Connection(), Connection()
+    a.set_local_callsign("W1AW"); b.set_local_callsign("VE3ABC")
+    drops = {"disc": 1, "ack": 1}
+
+    def a_to_b(fb, hs):
+        if drops["disc"] > 0 and b"W1AW" in fb:  # ConnectFrame carries callsigns
+            from ria_tpu.phy.frame_v2 import ConnectFrame, FrameType
+            f = ConnectFrame.deserialize(fb)
+            if f is not None and f.type == FrameType.DISCONNECT:
+                drops["disc"] -= 1
+                return
+        b.on_frame_received(fb)
+
+    def b_to_a(fb, hs):
+        from ria_tpu.phy.frame_v2 import DISCONNECT_SEQ, ControlFrame, FrameType
+        c = ControlFrame.deserialize(fb)
+        if (c is not None and c.type == FrameType.ACK and c.seq == DISCONNECT_SEQ
+                and drops["ack"] > 0):
+            drops["ack"] -= 1
+            return
+        a.on_frame_received(fb)
+
+    a.on_transmit, b.on_transmit = a_to_b, b_to_a
+    a.connect("VE3ABC")
+    b.notify_ping_received()       # chirp PING heard at B
+    a.notify_pong_received()       # PONG heard back at A -> CONNECT flows
+    assert a.state == ConnectionState.CONNECTED
+    assert b.state == ConnectionState.CONNECTED
+
+    a.disconnect()                 # first DISCONNECT dropped
+    assert a.state == ConnectionState.DISCONNECTING
+    for _ in range(12):            # 12 s of ticks covers retx at 5 s + ack retx at 2 s
+        a.tick(1000); b.tick(1000)
+    assert a.state == ConnectionState.DISCONNECTED
+    for _ in range(6):             # grace expiry on B (initiator silent)
+        b.tick(1000)
+    assert b.state == ConnectionState.DISCONNECTED

@@ -88,16 +88,41 @@ def main(argv=None) -> int:
     ok &= run_case("OFDM DQPSK R1/2 Good 15dB",
                    lambda: create_waveform(WaveformMode.OFDM_CHIRP, "DQPSK", "R1_2"),
                    payload, 15.0, "good", N, fixed_rate="R1_2", min_pass=N - 1)
+    ok &= run_case("OFDM DQPSK R1/4 Good 10dB",
+                   lambda: create_waveform(WaveformMode.OFDM_CHIRP, "DQPSK", "R1_4"),
+                   payload, 10.0, "good", N, fixed_rate="R1_4", min_pass=N - 1)
     ok &= run_case("MC-DPSK DBPSK R1/4 AWGN -4dB (floor)",
                    lambda: create_waveform(WaveformMode.MC_DPSK, "DBPSK", "R1_4"),
                    payload, -4.0, "awgn", N)
+    ok &= run_case("MC-DPSK DQPSK R1/4 AWGN +5dB (floor)",
+                   lambda: create_waveform(WaveformMode.MC_DPSK, "DQPSK", "R1_4"),
+                   payload, 5.0, "awgn", N)
+    ok &= run_case("MC-DPSK DBPSK 2x R1/4 AWGN -8dB (floor)",
+                   lambda: create_waveform(WaveformMode.MC_DPSK, "DBPSK", "R1_4",
+                                           spreading=2),
+                   payload, -8.0, "awgn", N)
     ok &= run_case("MC-DPSK DBPSK 4x R1/4 AWGN -8dB",
                    lambda: create_waveform(WaveformMode.MC_DPSK, "DBPSK", "R1_4",
                                            spreading=4),
                    payload, -8.0, "awgn", N)
+    ok &= run_case("OFDM QAM16 R1/2 AWGN 18dB",
+                   lambda: create_waveform(WaveformMode.OFDM_CHIRP, "QAM16", "R1_2"),
+                   payload, 18.0, "awgn", N, fixed_rate="R1_2")
+    ok &= run_case("OFDM QAM32 R3/4 AWGN 22dB",
+                   lambda: create_waveform(WaveformMode.OFDM_CHIRP, "QAM32", "R3_4"),
+                   payload, 22.0, "awgn", N, fixed_rate="R3_4")
     ok &= run_case("OFDM QAM64 R3/4 AWGN 25dB",
                    lambda: create_waveform(WaveformMode.OFDM_COX, "QAM64", "R3_4"),
                    payload, 25.0, "awgn", N, fixed_rate="R3_4")
+    ok &= run_case("COX coherent QPSK R1/2 AWGN 20dB",
+                   lambda: create_waveform(WaveformMode.OFDM_COX, "QPSK", "R1_2"),
+                   payload, 20.0, "awgn", N, fixed_rate="R1_2")
+    ok &= run_case("COX coherent 16QAM R3/4 AWGN 25dB",
+                   lambda: create_waveform(WaveformMode.OFDM_COX, "QAM16", "R3_4"),
+                   payload, 25.0, "awgn", N, fixed_rate="R3_4")
+    ok &= run_case("COX coherent 32QAM R3/4 AWGN 30dB",
+                   lambda: create_waveform(WaveformMode.OFDM_COX, "QAM32", "R3_4"),
+                   payload, 30.0, "awgn", N, fixed_rate="R3_4")
     print("SWEEP:", "ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 

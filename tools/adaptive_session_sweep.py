@@ -74,9 +74,20 @@ def main(argv=None) -> int:
         r = run_session(sess, args.seed)
         passed = r["connected"] and r["messages"] == args.num_messages
         ok &= passed
-        rows.append((snr, r.get("link", "-"), r["messages"],
+        rows.append((snr, r.get("final_link", r.get("link", "-")), r["messages"],
                      r.get("retransmissions", 0), r.get("chase", 0),
                      "PASS" if passed else "FAIL", time.time() - t0))
+        # Each SNR point negotiates a different mode and compiles fresh
+        # pipelines; without this the CPU-XLA executables of all previous
+        # points stay resident and long sweeps exhaust host memory
+        # ("LLVM compilation error: Cannot allocate memory").
+        import jax
+
+        from ria_tpu.phy import pipeline as _pl
+
+        _pl.make_rx_pipeline.cache_clear()
+        _pl.make_tx_pipeline.cache_clear()
+        jax.clear_caches()
 
     print("\n  SNR   negotiated link              msgs retx chase  result")
     for snr, link, msgs, retx, chase, status, wall in rows:
