@@ -144,7 +144,9 @@ class Station:
                 wf, light = self.handshake_wf, False
         else:
             wf, light = self.data_wf, True
-        self._enqueue_tx(np.asarray(wf.tx_frame(frame_bytes, light=light), np.float32))
+        samples = np.asarray(wf.tx_frame(frame_bytes, light=light), np.float32)
+        self._enqueue_tx(samples)
+        self.conn.notify_tx_air_ms(frame_bytes, len(samples) / 48.0)
         self.stats.frames_tx += 1
 
     def _on_mode_changed(self, link: LinkMode):

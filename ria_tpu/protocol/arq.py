@@ -89,6 +89,16 @@ class _ARQBase:
         if self.on_data:
             self.on_data(payload, flags)
 
+    def notify_tx_air_ms(self, frame_bytes: bytes, air_ms: float):
+        """The modem reports how long `frame_bytes` occupies the air.
+
+        Half-duplex: no ACK can arrive while our own frame is still being
+        transmitted, so the ack timer must start at TX *completion*.  At 4x
+        spreading a 4-CW MC-DPSK data frame is ~11 s of audio — longer than
+        the whole 8 s ack timeout — so counting from queue time guarantees a
+        spurious timeout retransmit per frame.  Subclasses back-date the
+        matching slot's timer by the air time (timer goes negative)."""
+
     def _make_data_frame(self, seq: int, payload: bytes, flags_extra: int) -> bytes:
         f = DataFrame.make_data(self.local_call, self.remote_call, seq, payload)
         f.flags |= flags_extra
@@ -126,6 +136,10 @@ class StopAndWaitARQ(_ARQBase):
         self.stats.frames_sent += 1
         self._tx(frame)
         return True
+
+    def notify_tx_air_ms(self, frame_bytes: bytes, air_ms: float):
+        if self.in_flight is not None and self.in_flight.frame_bytes == frame_bytes:
+            self.in_flight.timer_ms -= int(air_ms)
 
     # --- RX ---
     def on_frame_received(self, frame_bytes: bytes):
@@ -240,12 +254,22 @@ class SelectiveRepeatARQ(_ARQBase):
         lo = self.config.ack_timeout_ms // 4
         return int(min(max(2.0 * self._rtt_ema_ms, lo), self.config.ack_timeout_ms))
 
+    def notify_tx_air_ms(self, frame_bytes: bytes, air_ms: float):
+        for slot in self.window.values():
+            if slot.frame_bytes == frame_bytes:
+                slot.timer_ms -= int(air_ms)
+                break
+
     def _complete_upto(self, seq: int):
         """Cumulative ACK: complete every window slot <= seq (mod window)."""
         for s in [s for s in self.window if s <= seq]:
             slot = self.window.pop(s)
-            rtt = max(slot.timer_ms, 1)
-            self._rtt_ema_ms = 0.875 * self._rtt_ema_ms + 0.125 * rtt
+            # Skip the RTT sample when the slot's audio hadn't even finished
+            # transmitting (timer back-dated below zero by notify_tx_air_ms):
+            # a cumulative ACK for an earlier frame says nothing about the
+            # round trip of this one.
+            if slot.timer_ms > 0:
+                self._rtt_ema_ms = 0.875 * self._rtt_ema_ms + 0.125 * slot.timer_ms
             if self.on_send_complete:
                 self.on_send_complete(True)
 

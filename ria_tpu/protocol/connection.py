@@ -152,6 +152,12 @@ class Connection:
         if self.on_transmit:
             self.on_transmit(frame_bytes, handshake)
 
+    def notify_tx_air_ms(self, frame_bytes: bytes, air_ms: float):
+        """Modem feedback: `frame_bytes` occupies `air_ms` of TX audio.
+        Back-dates the matching ARQ ack timer to TX completion (half-duplex:
+        no ACK can arrive while our own frame is still on the air)."""
+        self.arq.notify_tx_air_ms(frame_bytes, air_ms)
+
     def _next_ctrl_seq(self) -> int:
         self._ctrl_seq = (self._ctrl_seq + 1) & 0xFFFE  # avoid DISCONNECT_SEQ
         return self._ctrl_seq

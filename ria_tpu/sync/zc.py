@@ -41,6 +41,15 @@ ZC_AMPLITUDE_SCALE = 0.8
 ZC_CFO_CONFIDENCE_THRESHOLD = 0.1
 ZC_LOW_SNR_COHERENT_THRESHOLD = 0.25
 ZC_MAX_UNAMBIGUOUS_CFO_HZ = 23.6
+# CFAR secondary detector (beyond reference): the normalized correlation
+# magnitude saturates at low SNR (peak ~= sqrt(S/(S+N))), but the 1016-sample
+# coherent template still has ~30 dB processing gain, so the PEAK-TO-FLOOR
+# ratio of the correlation stays discriminative far below the 0.3 absolute
+# threshold.  Noise-only windows max out around ratio ~4.3 (Rayleigh max over
+# ~46k lags x 4 roots vs Rayleigh mean); 6.0 leaves a comfortable
+# false-alarm margin while extending ZC detection from ~-3 dB to ~-12 dB.
+ZC_CFAR_RATIO = 6.0
+ZC_CFAR_MIN_MAG = 0.04
 
 # Frame types encoded in the ZC root
 ZC_PING, ZC_PONG, ZC_DATA, ZC_CONTROL, ZC_UNKNOWN = 0, 1, 2, 3, 255
@@ -186,10 +195,19 @@ def detect(samples: jnp.ndarray, cfg: ZCConfig, root_mask: int = ROOT_MASK_ALL,
     peak_pos = jnp.argmax(mag, axis=-1).astype(jnp.int32)        # [..., 4]
     peak_mag = jnp.take_along_axis(mag, peak_pos[..., None], -1)[..., 0]
 
-    # Earliest-repetition timing adjustment (40% rule).
+    # Correlation floor per root (mean |corr| over all lags; the two preamble
+    # peaks contribute negligibly to a ~46k-lag mean).  Used by both the
+    # low-SNR repetition disambiguation below and the CFAR detector.
+    floor = jnp.mean(mag, axis=-1)                               # [..., 4]
+
+    # Earliest-repetition timing adjustment (40% rule).  In the CFAR regime
+    # (peak below the absolute threshold) argmax can land on repetition 2;
+    # shift back when the lag one rep earlier also rises clearly (3x) above
+    # the correlation floor, so noise alone cannot trigger the shift.
     earlier = jnp.maximum(peak_pos - rep, 0)
     earlier_mag = jnp.take_along_axis(mag, earlier[..., None], -1)[..., 0]
-    use_earlier = (peak_mag > cfg.threshold) & (peak_pos >= rep) & (
+    confident = (peak_mag > cfg.threshold) | (earlier_mag > 3.0 * floor)
+    use_earlier = confident & (peak_pos >= rep) & (
         earlier_mag > peak_mag * ZC_REP1_ADJUST_THRESHOLD)
     timing = jnp.where(use_earlier, earlier, peak_pos)
 
@@ -234,13 +252,23 @@ def detect(samples: jnp.ndarray, cfg: ZCConfig, root_mask: int = ROOT_MASK_ALL,
     cfo = jnp.angle(c2 * jnp.conj(c1)) / (2.0 * jnp.pi * rep_duration)
     cfo = jnp.where(conf, cfo, 0.0)
 
-    # Best root.
-    best = jnp.argmax(det_mag, axis=-1).astype(jnp.int32)
+    # CFAR statistic: detection peak vs the correlation floor of the same
+    # root.  Disabled roots have mag == 0 everywhere (ratio 0).
+    ratio = det_mag / jnp.maximum(floor, 1e-6)
+    cfar_ok = (ratio > ZC_CFAR_RATIO) & (det_mag > ZC_CFAR_MIN_MAG)
+
+    # Best root: prefer the absolute-threshold detector's winner; fall back
+    # to the best CFAR ratio when no root clears the absolute threshold.
+    score = jnp.where(det_mag > cfg.threshold, det_mag + 10.0,
+                      jnp.where(cfar_ok, ratio / ZC_CFAR_RATIO, det_mag))
+    best = jnp.argmax(score, axis=-1).astype(jnp.int32)
     best_mag = jnp.take_along_axis(det_mag, best[..., None], -1)[..., 0]
+    best_ratio = jnp.take_along_axis(ratio, best[..., None], -1)[..., 0]
     best_timing = jnp.take_along_axis(timing, best[..., None], -1)[..., 0]
     best_cfo = jnp.take_along_axis(cfo, best[..., None], -1)[..., 0]
 
-    detected = best_mag > cfg.threshold
+    detected = (best_mag > cfg.threshold) | (
+        (best_ratio > ZC_CFAR_RATIO) & (best_mag > ZC_CFAR_MIN_MAG))
     snr = 20.0 * jnp.log10(best_mag / (1.0 - best_mag + 0.01))
     snr = jnp.clip(snr, -10.0, 30.0)
 

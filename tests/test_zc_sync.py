@@ -42,7 +42,7 @@ def test_root_discrimination(ftype):
     assert abs(int(res.start_sample) - (lead + cfg.preamble_samples)) <= 8
 
 
-@pytest.mark.parametrize("snr_db", [10.0, 0.0, -3.0])
+@pytest.mark.parametrize("snr_db", [10.0, 0.0, -3.0, -8.0])
 def test_detection_floor(snr_db):
     cfg = ZCConfig()
     rng = np.random.default_rng(42)
@@ -91,3 +91,28 @@ def test_root_mask_restricts():
     res = detect(jnp.asarray(audio), cfg, root_mask=ROOT_MASK_DATA | ROOT_MASK_CONTROL)
     # PING root is excluded; cross-correlation with DATA/CONTROL roots is low
     assert not bool(res.detected) or int(res.frame_type) in (ZC_DATA, ZC_CONTROL)
+
+
+def test_cfar_low_snr_timing_and_root():
+    """CFAR detector (zc.py ZC_CFAR_RATIO): exact timing + root at -10 dB in a
+    realistic decode window (preamble followed by 20k samples of 'data')."""
+    cfg = ZCConfig()
+    rng = np.random.default_rng(77)
+    pre = generate_preamble(cfg, ZC_DATA)
+    lead = 5000
+    audio = np.zeros(lead + len(pre) + 20000, np.float32)
+    audio[lead:lead + len(pre)] = pre
+    audio = _awgn(audio, -10.0, rng)
+    res = detect(jnp.asarray(audio), cfg)
+    assert bool(res.detected)
+    assert int(res.frame_type) == ZC_DATA
+    assert abs(int(res.start_sample) - (lead + cfg.preamble_samples)) <= 8
+
+
+def test_cfar_no_false_alarm_on_noise_batch():
+    """CFAR path must not raise the false-alarm rate: 50 noise-only windows."""
+    cfg = ZCConfig()
+    rng = np.random.default_rng(13)
+    for _ in range(50):
+        noise = rng.normal(0, 0.1, 30000).astype(np.float32)
+        assert not bool(detect(jnp.asarray(noise), cfg).detected)

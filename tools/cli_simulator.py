@@ -106,8 +106,11 @@ def run_session(args, seed: int) -> dict:
         result["file_ok"] = bool(done and done[0][2] and done[0][1] == payload)
 
     sim.alpha.conn.disconnect()
+    # Budget scales with spreading: control frames are spreading x longer on
+    # the air, and the DISCONNECT retransmit ladder (3 x 5 s) must fit.
+    disc_budget = 100 * max(1, sim.alpha.conn.link.spreading)
     sim.run_until(lambda: sim.bravo.conn.state == ConnectionState.DISCONNECTED,
-                  max_ticks=sim.ticks + 100)
+                  max_ticks=sim.ticks + disc_budget)
     result["disconnected"] = sim.bravo.conn.state == ConnectionState.DISCONNECTED
     result["retransmissions"] = sim.alpha.conn.arq.stats.retransmissions
     result["chase"] = sim.bravo.chase.stats.recoveries

@@ -85,6 +85,10 @@ def main():
         ("OFDM DQPSK R3/4", WaveformMode.OFDM_CHIRP, "DQPSK", "R3_4", 3536.0),
         ("OFDM QAM16 R1/2", WaveformMode.OFDM_COX, "QAM16", "R1_2", 4800.0),
         ("OFDM QAM64 R3/4", WaveformMode.OFDM_COX, "QAM64", "R3_4", 7200.0),
+        # Coherent NVIS/ground-wave rows (README.md:86-88, OFDM-COX pilots).
+        ("Coherent QPSK R1/2", WaveformMode.OFDM_COX, "QPSK", "R1_2", 2014.0),
+        ("Coherent QAM16 R3/4", WaveformMode.OFDM_COX, "QAM16", "R3_4", 5657.0),
+        ("Coherent QAM32 R3/4", WaveformMode.OFDM_COX, "QAM32", "R3_4", 7071.0),
     ]
     print(f"{'mode':24s} {'single':>8s} {'steady':>8s} {'ref_bps':>8s} {'ratio':>6s}")
     worst = 1.0
