@@ -55,13 +55,20 @@ class StationStats:
 
 class Station:
     def __init__(self, callsign: str, config: ConnectionConfig | None = None,
-                 seed: int = 0):
+                 seed: int = 0, mc_carriers: int = 10,
+                 chase_enabled: bool = True):
         self.callsign = callsign
         self.conn = Connection(config)
         self.conn.set_local_callsign(callsign)
         self.stats = StationStats()
 
-        self.handshake_wf = MCDPSKWaveform(modulation="DBPSK", rate="R1_4")
+        # Forced MC-DPSK carrier count (cli_simulator --carriers / host
+        # MCDPSKCARRIERS command; reference MultiCarrierDPSKConfig).  Applies
+        # to handshake and negotiated MC-DPSK data waveforms; beacons keep
+        # the fixed 10-carrier broadcast geometry.
+        self.mc_carriers = mc_carriers
+        self.handshake_wf = MCDPSKWaveform(num_carriers=mc_carriers,
+                                           modulation="DBPSK", rate="R1_4")
         self.data_wf = self.handshake_wf
         self._pending_link: LinkMode | None = None
         self._mfsk_wf = None  # lazy MFSK fallback waveform
@@ -83,7 +90,7 @@ class Station:
         from ria_tpu.fec.chase import ChaseCache
         from ria_tpu.phy.adaptive import LinkAdapter
 
-        self.chase = ChaseCache()
+        self.chase = ChaseCache() if chase_enabled else None
         self.link_adapter = LinkAdapter()
         self._now_ms = 0.0
 
@@ -151,7 +158,8 @@ class Station:
 
     def _on_mode_changed(self, link: LinkMode):
         if link.waveform == WaveformMode.MC_DPSK:
-            wf = MCDPSKWaveform(modulation=link.modulation, rate=link.rate,
+            wf = MCDPSKWaveform(num_carriers=self.mc_carriers,
+                                modulation=link.modulation, rate=link.rate,
                                 spreading=link.spreading)
         else:
             wf = create_waveform(link.waveform, link.modulation, link.rate)
@@ -363,7 +371,14 @@ class Station:
         reason = 0 if is_upgrade else 1  # CHANNEL_IMPROVED / CHANNEL_DEGRADED
         self.conn.request_mode_change(mod, rate, reason=reason)
 
-    def tick(self, elapsed_ms: int):
+    def tick(self, elapsed_ms: int, poll: bool = True):
+        """Advance protocol timers; optionally attempt a decode pass.
+
+        `poll=False` lets a driver delay decode passes while audio keeps
+        arriving (cli_simulator --decode-delay-blocks stress knob, the
+        analogue of the reference's --decode-delay-ms: decode falls behind
+        the audio thread and must catch up from a deep ring buffer)."""
         self._now_ms += elapsed_ms
-        self.poll()
+        if poll:
+            self.poll()
         self.conn.tick(elapsed_ms)

@@ -165,32 +165,170 @@ def apply_channel(x: jnp.ndarray, key: jax.Array, cfg: ChannelConfig) -> Channel
 
 
 def _apply_cfo(samples: jnp.ndarray, cfg: ChannelConfig) -> jnp.ndarray:
-    """Mix to baseband at 1500 Hz, rotate by CFO, mix back (:182-241)."""
-    fc = 1500.0
-    fs = cfg.sample_rate
+    """True SSB frequency shift: conjugate mix to baseband at 1500 Hz,
+    sharp FIR lowpass, complex rotation by the CFO, mix back.
+
+    DELIBERATE DEVIATION from the reference's applyCFO
+    (src/sim/hf_channel.hpp:182-241): the reference mixes down with
+    e^{+j w t} and reconstructs with Re{z e^{+j w t}}, which keeps the
+    NEGATIVE-frequency copy of the signal — the output spectrum is
+    INVERTED around 1500 Hz (an up-chirp comes out as a down-chirp, the
+    MC-DPSK carrier order is reversed) — and its 48-tap boxcar "lowpass"
+    (~450 Hz cutoff) destroys ~60% of the energy of any signal wider
+    than ±450 Hz of the carrier.  A real radio's frequency offset does
+    neither; this implementation is the physically-correct shift the
+    reference's comment describes.
+    """
     n = samples.shape[-1]
-    t = jnp.arange(n, dtype=jnp.float32) / fs
-    mix = 2.0 * jnp.pi * fc * t
-    i_bb = samples * jnp.cos(mix)
-    q_bb = samples * jnp.sin(mix)
+    zeros = jnp.zeros(samples.shape[:-1], jnp.float32)
+    taps = _cfo_lp_taps(cfg.sample_rate)
+    tail0 = jnp.zeros(samples.shape[:-1] + (len(taps) - 1,), jnp.float32)
+    out, *_ = _cfo_shift_block(samples, cfg, tail0, tail0, zeros, zeros)
+    return out
 
-    # 48-sample trailing moving average (reference's cheap lowpass).
-    win = 48
-    kern = jnp.ones(win, jnp.float32)
-    def mavg(v):
-        c = jnp.cumsum(v, axis=-1)
-        zero = jnp.zeros(v.shape[:-1] + (1,), v.dtype)
-        cs = jnp.concatenate([zero, c], axis=-1)
-        idx = jnp.arange(n)
-        lo = jnp.maximum(idx + 1 - win, 0)
-        span = jnp.minimum(idx + 1, win).astype(v.dtype)
-        return (cs[..., idx + 1] - cs[..., lo]) / span
-    del kern
-    i_f = mavg(i_bb)
-    q_f = mavg(q_bb)
 
-    ph = 2.0 * jnp.pi * cfg.cfo_hz * jnp.arange(n, dtype=jnp.float32) / fs
+_MIX_HZ = 1500.0         # SSB shift mixer (channel band center)
+_CFO_LP_TAPS = 193       # windowed-sinc lowpass for the SSB shift:
+_CFO_LP_CUTOFF = 1550.0  # passband covers the full +-1350 Hz audio band,
+#                          stopband reaches the first image term at 1800 Hz.
+
+
+@functools.lru_cache(maxsize=4)
+def _cfo_lp_taps(fs: float) -> tuple:
+    from ria_tpu.dsp.fir import design_lowpass
+
+    return tuple(design_lowpass(_CFO_LP_TAPS, _CFO_LP_CUTOFF, fs).astype(np.float32))
+
+
+def _cfo_shift_block(x: jnp.ndarray, cfg: ChannelConfig,
+                     i_tail: jnp.ndarray, q_tail: jnp.ndarray,
+                     cfo_phase: jnp.ndarray, mix_phase: jnp.ndarray):
+    """One block of the streaming SSB shift; returns (out, i_tail, q_tail,
+    cfo_phase, mix_phase).  Causal FIR -> streamed == one-shot exactly."""
+    from ria_tpu.dsp.fir import fir_filter
+
+    fs = cfg.sample_rate
+    n = x.shape[-1]
+    h = jnp.asarray(np.asarray(_cfo_lp_taps(fs), np.float32))
+    w_mix = 2.0 * jnp.pi * _MIX_HZ / fs
+    w_cfo = 2.0 * jnp.pi * cfg.cfo_hz / fs
+    idx = jnp.arange(n, dtype=jnp.float32)
+    mix = mix_phase[..., None] + w_mix * idx
+    cm, sm = jnp.cos(mix), jnp.sin(mix)
+    # Conjugate mix-down keeps the positive-frequency copy at f - fc.
+    i_bb = x * cm
+    q_bb = -x * sm
+    i_f, i_tail = fir_filter(i_bb, h, i_tail)
+    q_f, q_tail = fir_filter(q_bb, h, q_tail)
+    ph = cfo_phase[..., None] + w_cfo * idx
     c, s = jnp.cos(ph), jnp.sin(ph)
-    i_cfo = i_f * c - q_f * s
-    q_cfo = i_f * s + q_f * c
-    return 2.0 * (i_cfo * jnp.cos(mix) - q_cfo * jnp.sin(mix))
+    i_r = i_f * c - q_f * s
+    q_r = i_f * s + q_f * c
+    out = 2.0 * (i_r * cm - q_r * sm)
+    two_pi = 2.0 * jnp.pi
+    return (out, i_tail, q_tail,
+            jnp.mod(cfo_phase + w_cfo * n, two_pi),
+            jnp.mod(mix_phase + w_mix * n, two_pi))
+
+
+# ---------------------------------------------------------------- streaming
+# Block-streaming channel: same model as apply_channel, but ALL state that
+# the reference's per-sample C++ loop carries implicitly (fading AR(1)
+# values, the multipath delay line, the CFO mixer/rotator phases, the
+# 48-tap lowpass history) is an explicit ChannelState threaded between
+# fixed-size blocks.  Without this, a session simulator that pushes audio
+# through the channel block-by-block resets the CFO phase ramp at every
+# block boundary — a mid-frame phase discontinuity the real channel (and
+# the reference's stateful process()) never produces.
+
+class ChannelState(NamedTuple):
+    h1: jnp.ndarray         # complex64 [...]: tap-1 AR(1) carry
+    h2: jnp.ndarray         # complex64 [...]: tap-2 AR(1) carry
+    x_tail: jnp.ndarray     # float32 [..., delay]: input history (echo path)
+    i_tail: jnp.ndarray     # float32 [..., taps-1]: CFO lowpass I history
+    q_tail: jnp.ndarray     # float32 [..., taps-1]: CFO lowpass Q history
+    cfo_phase: jnp.ndarray  # float32 [...]: CFO rotator phase (rad, wrapped)
+    mix_phase: jnp.ndarray  # float32 [...]: 1500 Hz mixer phase (rad, wrapped)
+
+
+def init_channel_state(cfg: ChannelConfig, key: jax.Array,
+                       batch_shape: tuple = ()) -> ChannelState:
+    """Fresh state; fading taps drawn from the stationary distribution."""
+    alpha = cfg.fading_alpha if cfg.fading_enabled else 0.5
+    init_std = float(np.sqrt(1.0 / (2.0 - alpha)))
+    k1, k2 = jax.random.split(key)
+
+    def draw(k):
+        v = jax.random.normal(k, batch_shape + (2,), jnp.float32) * init_std
+        return jax.lax.complex(v[..., 0], v[..., 1])
+
+    zeros = functools.partial(jnp.zeros, dtype=jnp.float32)
+    return ChannelState(
+        h1=draw(k1), h2=draw(k2),
+        x_tail=zeros(batch_shape + (max(cfg.delay_samples, 1),)),
+        i_tail=zeros(batch_shape + (_CFO_LP_TAPS - 1,)),
+        q_tail=zeros(batch_shape + (_CFO_LP_TAPS - 1,)),
+        cfo_phase=zeros(batch_shape), mix_phase=zeros(batch_shape))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def apply_channel_stream(x: jnp.ndarray, key: jax.Array, cfg: ChannelConfig,
+                         state: ChannelState) -> tuple[ChannelResult, ChannelState]:
+    """One block through the stateful channel; returns (result, new state)."""
+    n = x.shape[-1]
+    k_f1, k_f2, k_noise = jax.random.split(key, 3)
+
+    nz = (jnp.abs(x) > 1e-6).astype(jnp.float32)
+    count = jnp.maximum(jnp.sum(nz, axis=-1, keepdims=True), 1.0)
+    power = jnp.sum(jnp.square(x) * nz, axis=-1, keepdims=True) / count
+    input_rms = jnp.where(jnp.sum(nz, axis=-1, keepdims=True) > 0,
+                          jnp.sqrt(power), 0.1)
+    noise_std = input_rms * (10.0 ** (-cfg.snr_db / 20.0))
+
+    out = x
+    h1_mag = jnp.ones(x.shape, jnp.float32)
+    new_h1, new_h2 = state.h1, state.h2
+    new_x_tail = state.x_tail
+    if cfg.fading_enabled:
+        alpha = cfg.fading_alpha
+        scale = float(np.sqrt(1.0 / alpha))
+
+        def fade(k, carry):
+            nr = jax.random.normal(k, x.shape + (2,), jnp.float32) * scale
+            noise_c = jax.lax.complex(nr[..., 0], nr[..., 1])
+            y = _ar1_scan(noise_c, alpha, carry)
+            return y, y[..., -1]
+
+        h1, new_h1 = fade(k_f1, state.h1)
+        h1_mag = jnp.abs(h1)
+        if cfg.multipath_enabled and cfg.delay_samples > 0:
+            h2, new_h2 = fade(k_f2, state.h2)
+            d = cfg.delay_samples
+            xx = jnp.concatenate([state.x_tail[..., -d:], x], axis=-1)
+            delayed = xx[..., :n]
+            new_x_tail = xx[..., n:]
+            out = (x * cfg.path1_gain * h1_mag
+                   + delayed * cfg.path2_gain * jnp.abs(h2))
+        else:
+            out = x * h1_mag
+    elif cfg.multipath_enabled and cfg.delay_samples > 0:
+        d = cfg.delay_samples
+        xx = jnp.concatenate([state.x_tail[..., -d:], x], axis=-1)
+        out = x * cfg.path1_gain + xx[..., :n] * cfg.path2_gain
+        new_x_tail = xx[..., n:]
+
+    if cfg.noise_enabled:
+        out = out + noise_std * jax.random.normal(k_noise, x.shape, jnp.float32)
+
+    new_i_tail, new_q_tail = state.i_tail, state.q_tail
+    new_cfo_phase, new_mix_phase = state.cfo_phase, state.mix_phase
+    if cfg.cfo_enabled and abs(cfg.cfo_hz) > 1e-3:
+        (out, new_i_tail, new_q_tail, new_cfo_phase,
+         new_mix_phase) = _cfo_shift_block(out, cfg, state.i_tail,
+                                           state.q_tail, state.cfo_phase,
+                                           state.mix_phase)
+
+    new_state = ChannelState(new_h1, new_h2, new_x_tail,
+                             new_i_tail, new_q_tail,
+                             new_cfo_phase, new_mix_phase)
+    return ChannelResult(out, h1_mag), new_state

@@ -182,7 +182,8 @@ def _refine_peak(x: jnp.ndarray, coarse_pos: jnp.ndarray, mats, tmpl_energy: flo
     csum = jnp.concatenate(
         [jnp.zeros(y.shape[:-1] + (1,), y.dtype), jnp.cumsum(y * y, axis=-1)], -1)
     win = csum[..., chirp_len : chirp_len + 2 * R + 1] - csum[..., : 2 * R + 1]
-    corr2 = mag2 / jnp.maximum(win * tmpl_energy, 1e-20)
+    win_floor = 1e-6 * jnp.max(win, axis=-1, keepdims=True)
+    corr2 = mag2 / jnp.maximum(jnp.maximum(win, win_floor) * tmpl_energy, 1e-20)
     j = jnp.argmax(corr2, axis=-1).astype(jnp.int32)
     val = jnp.sqrt(jnp.take_along_axis(corr2, j[..., None], axis=-1)[..., 0])
     return start + j, val
@@ -228,7 +229,10 @@ def _detect_dual_chirp_zoom(samples: jnp.ndarray, cfg: ChirpConfig,
     valid = idx < num_lags
     idx_b = jnp.minimum(idx // D, max(nblk - chirp_len // D - 1, 0))
     win = jnp.take(csum, idx_b + chirp_len // D, axis=-1) - jnp.take(csum, idx_b, axis=-1)
-    inv = jax.lax.rsqrt(jnp.maximum(win * energy, 1e-20))
+    # -60 dB energy floor (see _norm_correlate): silence windows holding
+    # only numeric residue must not outscore the real peak.
+    win_floor = 1e-6 * jnp.max(jnp.where(valid, win, 0.0), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(jnp.maximum(win, win_floor) * energy, 1e-20))
 
     up_env = jnp.where(valid, env_up * inv, -1.0)
     up_coarse = (jnp.argmax(up_env, axis=-1).astype(jnp.int32)) * D
@@ -274,7 +278,12 @@ def _norm_correlate(x: jnp.ndarray, tmpl_fft: jnp.ndarray, tmpl_energy: float,
     n = x.shape[-1]
     num_lags = n - chirp_len
     win = csum[..., chirp_len : chirp_len + num_lags] - csum[..., :num_lags]
-    denom = jnp.sqrt(jnp.maximum(win * tmpl_energy, 1e-20))
+    # Energy floor: windows holding only numeric residue of silence (e.g.
+    # FFT leakage after a frequency shift) must not win the argmax through
+    # a vanishing denominator — require at least -60 dB of the loudest
+    # window before a lag can compete.
+    win_floor = 1e-6 * jnp.max(win, axis=-1, keepdims=True)
+    denom = jnp.sqrt(jnp.maximum(jnp.maximum(win, win_floor) * tmpl_energy, 1e-20))
     return jnp.abs(corr[..., :num_lags]) / denom
 
 

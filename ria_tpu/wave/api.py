@@ -43,6 +43,33 @@ def _is_control_bytes(frame_bytes: bytes) -> bool:
         0x10 <= frame_bytes[2] <= 0x21 or frame_bytes[2] == 0x40)
 
 
+def _control_crc_gate(frame_bytes: bytes | None, cw_soft: np.ndarray,
+                      rate: str) -> tuple[bool, bytes | None]:
+    """Full-frame CRC16 gate for single-CW control frames.
+
+    LDPC parity alone is not sufficient acceptance: BP (especially the
+    perturbation retry ladder) can converge to a parity-valid NEIGHBOUR
+    codeword a few bits from the truth, whose header still parses — the
+    reference catches this with the frame CRC at the protocol layer and
+    drops the frame silently (streaming_decoder.cpp:2955-2960 false-positive
+    check).  Gating here instead (a) keeps wrong bytes out of frames_rx
+    accounting and (b) lets the caller's fallback paths (e.g. the 4x-spread
+    beacon re-decode) run.  When the primary decode fails the gate, rescue
+    with CRC-aided list decoding over distinct parity-valid candidates.
+    """
+    from ria_tpu.phy.frame_v2 import ControlFrame, bits_to_bytes
+    from ria_tpu.fec.ldpc import decode_candidates
+
+    if frame_bytes is not None and ControlFrame.deserialize(frame_bytes) is not None:
+        return True, frame_bytes
+    cands = decode_candidates(np.asarray(cw_soft, np.float32).reshape(1, -1), rate)
+    for _metric, info in cands[0]:
+        fb = bits_to_bytes(np.asarray(info))[:20]
+        if ControlFrame.deserialize(fb) is not None:
+            return True, bytes(fb)
+    return False, frame_bytes
+
+
 def _encode_with_cw_patch(frame_bytes: bytes, rate: str, ci_bits: int | None):
     """Variable-CW LDPC encode, patching total_cw + CRCs in the header when
     the serializer's guess differs (streaming_encoder.cpp total_cw patch)."""
@@ -220,7 +247,10 @@ class MCDPSKWaveform:
 
         frame_bytes = reassemble_codewords(chunks, self.rate) if oks.all() else None
         ok = bool(oks.all())
-        if ok and not header["is_control"]:
+        if header["is_control"]:
+            ok, frame_bytes = _control_crc_gate(frame_bytes if ok else None,
+                                                cw_soft[0], self.rate)
+        elif ok:
             ok = DataFrame.deserialize(frame_bytes) is not None
         if ok and chase is not None and not header["is_control"]:
             from ria_tpu.fec.chase import ChaseKey
@@ -312,11 +342,14 @@ class _OFDMWaveformBase:
         if ok0[0]:
             header = parse_header(chunk0[0])
             if header is not None and header["is_control"]:
-                return RxFrame(True, chunk0[0][:20], header, ok0, soft0,
-                               snr_db=self._spectral_snr(audio, lts_start,
-                                                         self.ctrl_cfg, LDPC_BITS),
-                               fading_index=float(res0.fading_index),
-                               cfo_hz=cfo, start_sample=lts_start)
+                okc, fbc = _control_crc_gate(chunk0[0][:20], soft0, "R1_4")
+                if okc:
+                    return RxFrame(True, fbc, header, ok0, soft0,
+                                   snr_db=self._spectral_snr(audio, lts_start,
+                                                             self.ctrl_cfg, LDPC_BITS),
+                                   fading_index=float(res0.fading_index),
+                                   cfo_hz=cfo, start_sample=lts_start)
+                # CRC-invalid "control" decode: fall through to the data path.
 
         # Data path: fixed 4-CW frame at the negotiated profile.
         num_bits = 4 * LDPC_BITS
@@ -559,7 +592,10 @@ class OTFSWaveform:
         oks = np.array(oks)
         frame_bytes = reassemble_codewords(list(chunks), self.rate) if oks.all() else None
         ok = bool(oks.all())
-        if ok and not header["is_control"]:
+        if header["is_control"]:
+            ok, frame_bytes = _control_crc_gate(frame_bytes if ok else None,
+                                                soft[:LDPC_BITS], self.rate)
+        elif ok:
             ok = DataFrame.deserialize(frame_bytes) is not None
         K = self._frames_for_bits(total_cw * LDPC_BITS)
         ext = K * (self.cfg.preamble_samples + self.cfg.frame_samples)
@@ -627,7 +663,10 @@ class MFSKWaveform:
         oks = np.array(oks)
         frame_bytes = reassemble_codewords(list(chunks), self.rate) if oks.all() else None
         ok = bool(oks.all())
-        if ok and not header["is_control"]:
+        if header["is_control"]:
+            ok, frame_bytes = _control_crc_gate(frame_bytes if ok else None,
+                                                soft[:LDPC_BITS], self.rate)
+        elif ok:
             ok = DataFrame.deserialize(frame_bytes) is not None
         ext = (self.cfg.frame_samples(total_cw * LDPC_BITS)
                - self.cfg.preamble_samples)

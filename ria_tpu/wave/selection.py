@@ -139,3 +139,19 @@ def recommended_pilot_spacing(modulation: str, rate: str) -> int:
     if modulation == "D8PSK":
         return 8 if rate in ("R3_4", "R2_3", "R1_2") else 10
     return 15 if rate == "R3_4" else 10
+
+
+def recommend_mc_dpsk_carriers(snr_db: float) -> int:
+    """MC-DPSK carrier-count ladder (reference
+    WaveformFactory::recommendMCDPSKCarriers, waveform_factory.cpp:154-171):
+    more carriers buy throughput but need better SNR; fewer concentrate
+    power per carrier for fading diversity at the bottom of the range."""
+    if snr_db < 3.0:
+        return 5
+    if snr_db < 8.0:
+        return 8
+    if snr_db < 10.0:
+        return 10
+    if snr_db < 15.0:
+        return 13
+    return 20

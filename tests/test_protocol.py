@@ -462,3 +462,43 @@ def test_disconnect_survives_frame_loss():
     for _ in range(6):             # grace expiry on B (initiator silent)
         b.tick(1000)
     assert b.state == ConnectionState.DISCONNECTED
+
+
+def test_session_stress_feed_chunks_and_decode_delay():
+    """Stress knobs (reference cli_simulator --rx-batch-callbacks /
+    --decode-delay-ms): audio arrives in 10 ms appends and decode passes
+    run only every 3rd block — the session must still complete."""
+    sim = DualStationSim(awgn(12.0), seed=7, feed_chunk_ms=10.0,
+                         decode_delay_blocks=3)
+    got = []
+    sim.bravo.conn.on_message = lambda d: got.append(d)
+    assert sim.alpha.conn.connect("BRAVO")
+    assert sim.run_until(sim.both_connected, max_ticks=300)
+    sim.alpha.conn.send_message(b"stressed delivery")
+    assert sim.run_until(lambda: got == [b"stressed delivery"], max_ticks=200)
+
+
+def test_session_forced_carriers_and_no_chase():
+    """--carriers 5 / --no-chase parity: a 5-carrier MC-DPSK session with
+    chase combining disabled still delivers at a benign SNR."""
+    sim = DualStationSim(awgn(8.0), seed=3, mc_carriers=5, chase_enabled=False)
+    assert sim.alpha.chase is None and sim.bravo.chase is None
+    assert sim.alpha.handshake_wf.cfg.num_carriers == 5
+    got = []
+    sim.bravo.conn.on_message = lambda d: got.append(d)
+    assert sim.alpha.conn.connect("BRAVO")
+    assert sim.run_until(sim.both_connected, max_ticks=250)
+    assert sim.alpha.data_wf.cfg.num_carriers == 5
+    sim.alpha.conn.send_message(b"five carriers")
+    assert sim.run_until(lambda: got == [b"five carriers"], max_ticks=200)
+
+
+def test_mc_dpsk_carrier_recommendation_ladder():
+    from ria_tpu.wave.selection import recommend_mc_dpsk_carriers
+
+    assert recommend_mc_dpsk_carriers(-5.0) == 5
+    assert recommend_mc_dpsk_carriers(2.9) == 5
+    assert recommend_mc_dpsk_carriers(5.0) == 8
+    assert recommend_mc_dpsk_carriers(9.0) == 10
+    assert recommend_mc_dpsk_carriers(12.0) == 13
+    assert recommend_mc_dpsk_carriers(20.0) == 20

@@ -37,6 +37,10 @@ def run_session(args, seed: int) -> dict:
     from ria_tpu.sim.simulator import DualStationSim
 
     channel = PRESETS[args.channel](args.snr)
+    if args.cfo:
+        from dataclasses import replace
+
+        channel = replace(channel, cfo_hz=args.cfo, cfo_enabled=True)
     cfg_a = ConnectionConfig()
     cfg_b = ConnectionConfig()
     if args.waveform != "AUTO":
@@ -47,7 +51,11 @@ def run_session(args, seed: int) -> dict:
         cfg_a.forced_rate = args.rate
 
     sim = DualStationSim(channel, seed=seed, config_a=cfg_a, config_b=cfg_b,
-                         save_signals=args.save_signals)
+                         save_signals=args.save_signals,
+                         mc_carriers=args.carriers,
+                         chase_enabled=not args.no_chase,
+                         feed_chunk_ms=args.feed_chunk_ms,
+                         decode_delay_blocks=args.decode_delay_blocks)
     result = {"seed": seed, "connected": False, "messages": 0, "file_ok": False,
               "disconnected": False, "retransmissions": 0}
     got_b, got_a = [], []
@@ -113,7 +121,7 @@ def run_session(args, seed: int) -> dict:
                   max_ticks=sim.ticks + disc_budget)
     result["disconnected"] = sim.bravo.conn.state == ConnectionState.DISCONNECTED
     result["retransmissions"] = sim.alpha.conn.arq.stats.retransmissions
-    result["chase"] = sim.bravo.chase.stats.recoveries
+    result["chase"] = sim.bravo.chase.stats.recoveries if sim.bravo.chase else 0
     final = sim.alpha.conn.link
     result["final_link"] = (f"{final.waveform.name} {final.modulation} {final.rate}"
                             + (f" x{final.spreading}" if final.spreading > 1 else ""))
@@ -140,6 +148,18 @@ def main(argv=None) -> int:
     ap.add_argument("--num-messages", type=int, default=2)
     ap.add_argument("--file", action="store_true")
     ap.add_argument("--save-signals", default=None)
+    ap.add_argument("--cfo", type=float, default=0.0,
+                    help="inject a fixed carrier frequency offset (Hz)")
+    ap.add_argument("--carriers", type=int, default=10,
+                    help="MC-DPSK carrier count on both stations (3-20)")
+    ap.add_argument("--no-chase", action="store_true",
+                    help="disable HARQ chase combining")
+    ap.add_argument("--feed-chunk-ms", type=float, default=None,
+                    help="stress: feed RX audio in chunks of this many ms "
+                         "(reference --rx-batch-callbacks analogue)")
+    ap.add_argument("--decode-delay-blocks", type=int, default=1,
+                    help="stress: decode only every Nth audio block "
+                         "(reference --decode-delay-ms analogue)")
     args = ap.parse_args(argv)
 
     print(f"cli_simulator: {args.channel} @ {args.snr} dB, "
