@@ -86,6 +86,15 @@ class Station:
         self.max_buffer = 48000 * 20
         self._last_failed_sync = -1
         self._searched_len = -1  # skip re-search until new audio arrives
+        # Sliding-window sync search cursors, one per (waveform mode, light):
+        # content before the cursor has been searched and holds no sync
+        # (reference correlation_pos_, streaming_decoder.cpp:386-470).
+        self._search_pos: dict = {}
+        # SYNC_FOUND state (reference state machine SEARCHING -> SYNC_FOUND
+        # -> DECODING): a detected sync waiting for enough buffered samples.
+        # Caching it avoids re-running the sync search and the CW0 peek on
+        # every audio tick while a long frame is still arriving.
+        self._pending: dict | None = None
 
         from ria_tpu.fec.chase import ChaseCache
         from ria_tpu.phy.adaptive import LinkAdapter
@@ -191,6 +200,11 @@ class Station:
             drop = len(self.rx_buffer) - self.max_buffer
             self.rx_buffer = self.rx_buffer[drop:]
             self._last_failed_sync = max(-1, self._last_failed_sync - drop)
+            self._search_pos = {k: max(0, v - drop) for k, v in self._search_pos.items()}
+            if self._pending is not None:
+                self._pending["sync"]["start"] -= drop
+                if self._pending["sync"]["start"] < 0:
+                    self._pending = None
             self.stats.overflow_drops += drop
 
     @property
@@ -219,9 +233,12 @@ class Station:
         return match >= 0.85
 
     def _consume(self, upto: int):
-        self.rx_buffer = self.rx_buffer[max(0, upto):]
+        upto = max(0, upto)
+        self.rx_buffer = self.rx_buffer[upto:]
         self._last_failed_sync = -1
         self._searched_len = -1
+        self._search_pos = {k: max(0, v - upto) for k, v in self._search_pos.items()}
+        self._pending = None
 
     def poll(self):
         """Attempt decode of buffered audio; dispatch to the connection."""
@@ -232,45 +249,114 @@ class Station:
 
         connected = self.conn.state in (ConnectionState.CONNECTED,
                                         ConnectionState.DISCONNECTING)
-        wf = self.data_wf if connected else self.handshake_wf
-        light = connected
+        if self._pending is None:
+            wf = self.data_wf if connected else self.handshake_wf
+            light = connected
+            sync = self._windowed_detect(wf, light)
+            if sync is None and connected:
+                # Handshake-preamble frames (e.g. DISCONNECT retry) can
+                # still arrive.
+                wf, light = self.handshake_wf, False
+                sync = self._windowed_detect(wf, False)
+            if sync is None:
+                keep = 140000
+                if len(self.rx_buffer) > keep and self._min_search_pos() >= \
+                        len(self.rx_buffer) - keep:
+                    self._consume(len(self.rx_buffer) - keep)
+                return
+            self._pending = {"sync": sync, "wf": wf, "light": light,
+                             "header": None, "peeked": False,
+                             "ping_checked": False}
+        self._process_pending(connected)
 
-        sync = wf.detect_sync(self.rx_buffer, light=light) if len(self.rx_buffer) > 4000 else None
-        if sync is None and connected:
-            # Handshake-preamble frames (e.g. DISCONNECT retry) can still arrive.
-            wf, light = self.handshake_wf, False
-            sync = wf.detect_sync(self.rx_buffer, light=False) if len(self.rx_buffer) > 4000 else None
-        if sync is None:
-            keep = 140000
-            if len(self.rx_buffer) > keep:
-                self._consume(len(self.rx_buffer) - keep)
-            return
+    def _min_search_pos(self) -> int:
+        return min(self._search_pos.values()) if self._search_pos else 0
 
+    def _windowed_detect(self, wf, light: bool):
+        """Sliding fixed-size sync search with a persistent cursor.
+
+        Fixed window shapes keep the jitted detectors at one compiled
+        signature each (a growing ring buffer would otherwise recompile the
+        XLA search program on every audio tick); the cursor means already-
+        searched audio is never re-correlated (reference correlation_pos_,
+        streaming_decoder.cpp:386-470)."""
+        n = len(self.rx_buffer)
+        if n <= 4000:
+            return None
+        key = (wf.mode, light)
+        W = wf.search_window(light)
+        ov = wf.search_overlap(light)
+        p = max(0, min(self._search_pos.get(key, 0), n))
+        while True:
+            end = min(p + W, n)
+            win = self.rx_buffer[p:end]
+            if len(win) < W:
+                win = np.concatenate([win, np.zeros(W - len(win), np.float32)])
+            sync = wf.detect_sync(win, light=light)
+            if sync is not None:
+                start = sync["start"] + p
+                # A content start within the trailing margin may come from a
+                # preamble truncated by the buffer end — its timing can be
+                # early/late.  Leave the cursor and re-detect next tick with
+                # the preamble fully buffered.
+                if start <= n - 1024:
+                    sync["start"] = start
+                    return sync
+                return None
+            if end >= n:
+                self._search_pos[key] = max(p, n - ov)
+                return None
+            p = end - ov
+
+    def _process_pending(self, connected: bool):
+        """SYNC_FOUND -> (wait for samples) -> DECODING (reference
+        checkIfReadyToDecode + decodeCurrentFrame).  The CW0 header peek
+        runs once per sync; the full decode runs once, only when the whole
+        frame (by peeked total_cw, or the waveform's fallback bound) is
+        buffered — never on zero-padded partial audio."""
+        pend = self._pending
+        sync, wf, light = pend["sync"], pend["wf"], pend["light"]
         start = sync["start"]
+        n = len(self.rx_buffer)
 
-        # PING/PONG discrimination on chirp-preamble signals.
-        if sync["kind"] == "chirp" and isinstance(wf, MCDPSKWaveform):
+        # PING/PONG discrimination on chirp-preamble signals (once).
+        if (sync["kind"] == "chirp" and isinstance(wf, MCDPSKWaveform)
+                and not pend["ping_checked"]):
+            cfg = wf.cfg
+            ping_need = (cfg.training_symbols + 1 + PING_SYMBOLS * cfg.spreading) \
+                * cfg.samples_per_symbol
+            if start + ping_need > n:
+                return  # wait for more audio
+            pend["ping_checked"] = True
             if self._try_ping(start, sync["cfo_hz"]):
                 self.stats.pings_rx += 1
-                cfg = wf.cfg
-                end = start + (cfg.training_symbols + 1 + PING_SYMBOLS * cfg.spreading) \
-                    * cfg.samples_per_symbol
-                self._consume(end)
+                self._consume(start + ping_need)
                 if self.conn.state == ConnectionState.PROBING:
                     self.conn.notify_pong_received()
                 else:
                     self.conn.notify_ping_received()
                 return
 
-        # Wait until the buffer can hold at least a 1-CW frame.
-        min_needed = start + self._frame_body_samples(wf, 1)
-        if len(self.rx_buffer) < min_needed:
+        # Wait until the buffer can hold the CW0 peek span.
+        if start + self._frame_body_samples(wf, 1, control=True) > n:
             return
+        if not pend["peeked"]:
+            pend["header"] = wf.peek_header(self.rx_buffer, start,
+                                            sync["cfo_hz"], light)
+            pend["peeked"] = True
+        header = pend["header"]
+        control = bool(header and header["is_control"])
+        if header is not None:
+            ncw = 1 if control else max(1, int(header["total_cw"]))
+        else:
+            ncw = wf.fallback_cw
+        if start + self._frame_body_samples(wf, ncw, control) > n:
+            return  # wait for the exact frame length
 
         import time as _time
 
         t0 = _time.perf_counter()
-        rx = wf.rx_frame(self.rx_buffer, light=light, chase=self.chase)
+        rx = wf.rx_frame(self.rx_buffer, light=light, chase=self.chase, sync=sync)
         dt_ms = (_time.perf_counter() - t0) * 1e3
         self.stats.decode_time_ms_avg = (0.9 * self.stats.decode_time_ms_avg
                                          + 0.1 * dt_ms)
@@ -279,18 +365,35 @@ class Station:
             # streaming_decoder retries +-8/16/24/32; stats histogram at
             # streaming_decoder.hpp:95-105).  Only when even the header
             # failed — a decoded header means timing was right.
+            # Cost control: probe each offset with the cheap plain-BP
+            # header peek first; the expensive retry-ladder decode runs
+            # only at an offset whose header parses.  Data-frame timing
+            # errors (invisible to the control peek) get two full attempts
+            # at the nearest offsets.
+            recovered = False
             for off in (-8, 8, -16, 16, -24, 24, -32, 32):
+                if wf.peek_header(self.rx_buffer, max(start + off, 0),
+                                  sync["cfo_hz"], light) is None:
+                    continue
                 r2 = wf._rx_at(self.rx_buffer, max(start + off, 0), sync["cfo_hz"])
                 if r2.ok:
-                    rx = r2
+                    rx, recovered = r2, True
                     self.stats.sync_recoveries[off] = \
                         self.stats.sync_recoveries.get(off, 0) + 1
                     break
+            if not recovered:
+                for off in (-8, 8):
+                    r2 = wf._rx_at(self.rx_buffer, max(start + off, 0), sync["cfo_hz"])
+                    if r2.ok:
+                        rx = r2
+                        self.stats.sync_recoveries[off] = \
+                            self.stats.sync_recoveries.get(off, 0) + 1
+                        break
         if not rx.ok and not connected and sync["kind"] == "chirp":
             # Beacons are 4x-spread MC-DPSK; retry the chirp frame with the
             # spread demod profile before giving up on this sync.
             bwf = MCDPSKWaveform(modulation="DBPSK", rate="R1_4", spreading=4)
-            brx = bwf.rx_frame(self.rx_buffer, light=False)
+            brx = bwf.rx_frame(self.rx_buffer, light=False, sync=dict(sync))
             if brx.ok:
                 rx, wf = brx, bwf
         if rx.ok:
@@ -303,33 +406,26 @@ class Station:
             self._feed_link_adapter(rx)
             return
 
-        # Failed decode: if we likely have the whole frame, skip this sync.
-        max_cw = 8
-        if rx.header is not None:
-            max_cw = max(1, rx.header["total_cw"])
-        full_needed = start + self._frame_body_samples(wf, max_cw)
-        if len(self.rx_buffer) >= full_needed:
-            if self._last_failed_sync == start:
-                self.stats.decode_failures += 1
-                self.stats.sync_skips += 1
-                # Partial data frame with a decoded header: request a
-                # retransmit with the per-CW failure bitmap (NACK), which
-                # feeds chase combining on the next reception.
-                if (connected and rx.header is not None
-                        and not rx.header["is_control"] and rx.cw_ok is not None):
-                    from ria_tpu.phy.frame_v2 import ControlFrame
+        # Failed decode with the whole frame span present: the decode is
+        # deterministic on a complete span, so fail once and skip (the old
+        # two-strike retry re-ran an identical multi-second decode).
+        self.stats.decode_failures += 1
+        self.stats.sync_skips += 1
+        # Partial data frame with a decoded header: request a retransmit
+        # with the per-CW failure bitmap (NACK), which feeds chase
+        # combining on the next reception.
+        if (connected and rx.header is not None
+                and not rx.header["is_control"] and rx.cw_ok is not None):
+            from ria_tpu.phy.frame_v2 import ControlFrame
 
-                    bitmap = 0
-                    for i, okcw in enumerate(np.asarray(rx.cw_ok)):
-                        if not okcw and i < 32:
-                            bitmap |= 1 << i
-                    nack = ControlFrame.make_nack(self.callsign, rx.header["src_hash"],
-                                                  rx.header["seq"], bitmap)
-                    self._on_conn_transmit(nack.serialize(), handshake=False)
-                self._consume(start + self._frame_body_samples(wf, max_cw,
-                                                               bool(rx.header and rx.header["is_control"])))
-            else:
-                self._last_failed_sync = start
+            bitmap = 0
+            for i, okcw in enumerate(np.asarray(rx.cw_ok)):
+                if not okcw and i < 32:
+                    bitmap |= 1 << i
+            nack = ControlFrame.make_nack(self.callsign, rx.header["src_hash"],
+                                          rx.header["seq"], bitmap)
+            self._on_conn_transmit(nack.serialize(), handshake=False)
+        self._consume(start + self._frame_body_samples(wf, ncw, control))
 
     @staticmethod
     def _frame_body_samples(wf, ncw: int, control: bool = False) -> int:

@@ -43,6 +43,20 @@ def _is_control_bytes(frame_bytes: bytes) -> bool:
         0x10 <= frame_bytes[2] <= 0x21 or frame_bytes[2] == 0x40)
 
 
+def _noise_ref(audio: np.ndarray, preamble_begin: int) -> np.ndarray | None:
+    """Noise-only window from the inter-frame gap just before a frame's
+    preamble, for the spectral SNR floor.  Without it the floor falls back
+    to out-of-band bins (8-22 kHz), which are empty whenever the channel is
+    bandlimited — a receiver SSB filter, or the simulator's SSB-shift CFO
+    path — and the SNR estimate inflates by 10+ dB, negotiating absurd
+    rates (QAM64 at a true 10 dB)."""
+    end = max(0, int(preamble_begin) - 480)  # timing-error guard
+    beg = max(0, end - 24000)
+    if end - beg >= 4096:
+        return np.asarray(audio[beg:end], np.float32)
+    return None
+
+
 def _control_crc_gate(frame_bytes: bytes | None, cw_soft: np.ndarray,
                       rate: str) -> tuple[bool, bytes | None]:
     """Full-frame CRC16 gate for single-CW control frames.
@@ -122,6 +136,7 @@ class MCDPSKWaveform:
     """MC-DPSK: chirp handshake preamble, ZC connected-mode preamble."""
 
     mode = WaveformMode.MC_DPSK
+    fallback_cw = 8  # unknown-length wait/skip bound when CW0 peek fails
 
     def __init__(self, num_carriers: int = 10, modulation: str = "DBPSK",
                  rate: str = "R1_4", spreading: int = 1,
@@ -183,6 +198,32 @@ class MCDPSKWaveform:
         return head + train_ref + body
 
     # ------------------------------------------------------------------ RX
+    def search_window(self, light: bool = False) -> int:
+        """Sliding sync-search window (reference getMinSamplesForSearch +
+        streaming_decoder window caps: chirp <=120k, connected ZC <=48k).
+        Fixed sizes keep the jitted detectors at one compiled shape."""
+        return 48000 if light else 120000
+
+    def search_overlap(self, light: bool = False) -> int:
+        """Overlap re-searched between consecutive windows: one full
+        preamble plus margin, so a boundary-straddling preamble is found."""
+        return (self.zc_cfg.preamble_samples + 2048 if light
+                else self.cfg.chirp.total_samples + 4800)
+
+    def peek_header(self, audio: np.ndarray, start: int, cfo: float,
+                    light: bool = False):
+        """Decode CW0 only and parse the frame header (reference CW0 "peek",
+        streaming_decoder.cpp:1060-1100) — lets the caller wait for the
+        exact frame length before attempting the full decode."""
+        soft0, _ = self._demod_bits(audio, start, cfo, LDPC_BITS)
+        for ci in ([None, self._ci_bits] if self._ci_bits else [None]):
+            ok0, chunk0 = decode_codewords(soft0[None, :], self.rate, ci)
+            if ok0[0]:
+                h = parse_header(chunk0[0])
+                if h is not None:
+                    return h
+        return None
+
     def detect_sync(self, audio: np.ndarray, light: bool = False):
         x = jnp.asarray(np.asarray(audio, np.float32))
         if light:
@@ -212,8 +253,9 @@ class MCDPSKWaveform:
         return np.asarray(res.soft_bits)[:num_bits], res
 
     def rx_frame(self, audio: np.ndarray, light: bool = False,
-                 chase=None) -> RxFrame:
-        sync = self.detect_sync(audio, light)
+                 chase=None, sync: dict | None = None) -> RxFrame:
+        if sync is None:
+            sync = self.detect_sync(audio, light)
         if sync is None:
             return RxFrame(False, None, None, None, None)
         start, cfo = sync["start"], sync["cfo_hz"]
@@ -264,8 +306,11 @@ class MCDPSKWaveform:
         n_sym = self.cfg.num_data_symbols(total_cw * LDPC_BITS)
         body_len = (self.cfg.training_symbols + 1 + n_sym * self.cfg.spreading) \
             * self.cfg.samples_per_symbol
+        pre = start - (self.zc_cfg.preamble_samples if sync.get("kind") == "zc"
+                       else self.cfg.chirp.total_samples)
         snr_db = spectral_snr_db(np.asarray(audio[start:start + body_len],
-                                            np.float32))
+                                            np.float32),
+                                 noise_ref=_noise_ref(audio, pre))
         return RxFrame(ok, frame_bytes, header, oks, soft,
                        snr_db=snr_db,
                        fading_index=float(res.freq_fading_index + res.temporal_fading_index),
@@ -276,6 +321,21 @@ class _OFDMWaveformBase:
     """Shared OFDM TX/RX: control frames hardened to DQPSK R1/4 variable-CW,
     data frames fixed 4-CW with frame interleave (streaming_encoder.cpp)."""
 
+    fallback_cw = 4  # data frames are always fixed 4-CW
+
+    def peek_header(self, audio: np.ndarray, lts_start: int, cfo: float,
+                    light: bool = False):
+        """Control fast-path peek: decode the DQPSK R1/4 control codeword and
+        parse its header.  Returns None for data frames — their length is
+        fixed (4 CW), so no peek is needed to size the wait."""
+        soft0, _ = self._demod(audio, lts_start, cfo, self.ctrl_cfg, LDPC_BITS)
+        ok0, chunk0 = decode_codewords(soft0[None, :], "R1_4", None)
+        if ok0[0]:
+            h = parse_header(chunk0[0])
+            if h is not None and h["is_control"]:
+                return h
+        return None
+
     def __init__(self, modulation: str = "DQPSK", rate: str = "R1_2",
                  channel_interleave: bool = True):
         # Channel interleaving defaults ON for OFDM data frames
@@ -283,6 +343,7 @@ class _OFDMWaveformBase:
         self.modulation = modulation
         self.rate = rate
         self.channel_interleave = channel_interleave
+        self._pre_start: int | None = None  # current frame's signal begin
         self._rebuild()
 
     def _rebuild(self):
@@ -332,8 +393,13 @@ class _OFDMWaveformBase:
         # estimate stays internal (LLR scaling, diagnostics).
         S = cfg.num_symbols_for_bits(num_bits)
         need = (2 + S) * cfg.symbol_samples
+        # Inter-frame-gap noise floor (see _noise_ref); pre_start = where
+        # this frame's over-the-air signal begins (acquisition preamble).
+        pre = self._pre_start if self._pre_start is not None \
+            else lts_start - 2 * cfg.symbol_samples
         return spectral_snr_db(np.asarray(audio[lts_start:lts_start + need],
-                                          np.float32))
+                                          np.float32),
+                               noise_ref=_noise_ref(audio, pre))
 
     def _rx_at(self, audio, lts_start, cfo) -> RxFrame:
         # Control fast path: DQPSK R1/4 single codeword.
@@ -408,6 +474,13 @@ class OFDMCoxWaveform(_OFDMWaveformBase):
         bits, cfg, _ = self._encode(frame_bytes)
         return ofdm.tx_frame(bits, cfg, preamble="cox", tx_cfo_hz=tx_cfo_hz)
 
+    def search_window(self, light: bool = False) -> int:
+        return 48000
+
+    def search_overlap(self, light: bool = False) -> int:
+        # STS + LTS region plus margin.
+        return 4 * self.cfg.symbol_samples + 2048
+
     def detect_sync(self, audio: np.ndarray, light: bool = False):
         res = ofdm.schmidl_cox_search(jnp.asarray(np.asarray(audio, np.float32)), self.cfg)
         if not bool(res.detected):
@@ -415,10 +488,13 @@ class OFDMCoxWaveform(_OFDMWaveformBase):
         return {"start": int(res.lts_start), "cfo_hz": float(res.cfo_hz),
                 "corr": float(res.metric), "kind": "sc"}
 
-    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None) -> RxFrame:
-        sync = self.detect_sync(audio)
+    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None,
+                 sync: dict | None = None) -> RxFrame:
+        if sync is None:
+            sync = self.detect_sync(audio)
         if sync is None:
             return RxFrame(False, None, None, None, None)
+        self._pre_start = sync["start"] - 2 * self.cfg.symbol_samples  # STS
         return self._rx_at(audio, sync["start"], sync["cfo_hz"])
 
 
@@ -470,13 +546,20 @@ class OFDMChirpWaveform(_OFDMWaveformBase):
         chirp = chirp_sync.generate(self.chirp_cfg, tx_cfo_hz)
         return np.concatenate([chirp, body]).astype(np.float32)
 
+    def search_window(self, light: bool = False) -> int:
+        return 48000 if light else 120000
+
+    def search_overlap(self, light: bool = False) -> int:
+        return (4 * self.cfg.symbol_samples + 2048 if light
+                else self.chirp_cfg.total_samples + 4800)
+
     def detect_sync(self, audio: np.ndarray, light: bool = False):
         x = jnp.asarray(np.asarray(audio, np.float32))
         if light:
             res = ofdm.lts_search(x, self.cfg)
             if not bool(res.detected):
                 return None
-            return {"start": int(res.lts_start), "cfo_hz": 0.0,
+            return {"start": int(res.lts_start), "cfo_hz": float(res.cfo_hz),
                     "corr": float(res.corr), "kind": "lts"}
         res = chirp_sync.detect_dual_chirp(x, self.chirp_cfg)
         if not bool(res.detected):
@@ -486,10 +569,16 @@ class OFDMChirpWaveform(_OFDMWaveformBase):
                 "corr": float(max(float(res.up_corr), float(res.down_corr))),
                 "kind": "chirp"}
 
-    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None) -> RxFrame:
-        sync = self.detect_sync(audio, light)
+    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None,
+                 sync: dict | None = None) -> RxFrame:
+        if sync is None:
+            sync = self.detect_sync(audio, light)
         if sync is None:
             return RxFrame(False, None, None, None, None)
+        # Signal begin: the chirp for acquisition frames; the LTS itself
+        # (== sync start) for light frames, whose gap sits directly before.
+        self._pre_start = (sync["start"] - self.chirp_cfg.total_samples
+                           if sync.get("kind") == "chirp" else sync["start"])
         return self._rx_at(audio, sync["start"], sync["cfo_hz"])
 
 
@@ -500,6 +589,7 @@ class OTFSWaveform:
     preamble, after a single ZC acquisition preamble."""
 
     mode = WaveformMode.OTFS_EQ
+    fallback_cw = 8
 
     def __init__(self, modulation: str = "QPSK", rate: str = "R1_4",
                  raw_dd: bool = False):
@@ -545,6 +635,18 @@ class OTFSWaveform:
             parts.append(otfs.tx_frame(padded[k * per : (k + 1) * per], self.cfg))
         return np.concatenate(parts).astype(np.float32)
 
+    def search_window(self, light: bool = False) -> int:
+        return 48000
+
+    def search_overlap(self, light: bool = False) -> int:
+        return self.zc_cfg.preamble_samples + 2048
+
+    def peek_header(self, audio: np.ndarray, start: int, cfo: float,
+                    light: bool = False):
+        soft0, _ = self._demod_bits(audio, start, cfo, LDPC_BITS)
+        ok0, chunk0 = decode_codewords(soft0[None, :], self.rate, None)
+        return parse_header(chunk0[0]) if ok0[0] else None
+
     def detect_sync(self, audio: np.ndarray, light: bool = False):
         res = zc_sync.detect(jnp.asarray(np.asarray(audio, np.float32)), self.zc_cfg,
                              root_mask=zc_sync.ROOT_MASK_DATA | zc_sync.ROOT_MASK_CONTROL)
@@ -576,8 +678,10 @@ class OTFSWaveform:
         return self.zc_cfg.preamble_samples + K * (self.cfg.preamble_samples
                                                    + self.cfg.frame_samples)
 
-    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None) -> RxFrame:
-        sync = self.detect_sync(audio)
+    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None,
+                 sync: dict | None = None) -> RxFrame:
+        if sync is None:
+            sync = self.detect_sync(audio)
         if sync is None:
             return RxFrame(False, None, None, None, None)
         start, cfo = sync["start"], sync["cfo_hz"]
@@ -599,7 +703,8 @@ class OTFSWaveform:
             ok = DataFrame.deserialize(frame_bytes) is not None
         K = self._frames_for_bits(total_cw * LDPC_BITS)
         ext = K * (self.cfg.preamble_samples + self.cfg.frame_samples)
-        snr = spectral_snr_db(np.asarray(audio[start:start + ext], np.float32))
+        snr = spectral_snr_db(np.asarray(audio[start:start + ext], np.float32),
+                              noise_ref=_noise_ref(audio, start - self.zc_cfg.preamble_samples))
         return RxFrame(ok, frame_bytes, header, oks, soft, snr_db=snr,
                        cfo_hz=cfo, start_sample=start)
 
@@ -609,6 +714,7 @@ class MFSKWaveform:
     mfsk_waveform.{hpp,cpp})."""
 
     mode = WaveformMode.MFSK
+    fallback_cw = 8
 
     def __init__(self, num_tones: int = 8, rate: str = "R1_4", modulation: str = "MFSK"):
         from ria_tpu.wave import mfsk
@@ -630,6 +736,31 @@ class MFSKWaveform:
     def frame_samples(self, num_codewords: int, light: bool = False) -> int:
         return self.cfg.frame_samples(num_codewords * LDPC_BITS)
 
+    def search_window(self, light: bool = False) -> int:
+        return 96000
+
+    def search_overlap(self, light: bool = False) -> int:
+        return self.cfg.preamble_samples + 3072
+
+    def _demod_fixed(self, audio: np.ndarray, start: int, num_bits: int):
+        """Zero-padded fixed-size demod slice (one compiled shape per
+        num_bits, independent of the caller's buffer length)."""
+        from ria_tpu.wave import mfsk
+
+        need = (self.cfg.num_symbols_for_bits(num_bits)
+                * self.cfg.repetition * self.cfg.samples_per_symbol)
+        chunk = np.zeros(need, np.float32)
+        avail = np.asarray(audio[start : start + need], np.float32)
+        chunk[: len(avail)] = avail
+        res = mfsk.demodulate(jnp.asarray(chunk), self.cfg, num_bits)
+        return np.asarray(res.soft_bits), res
+
+    def peek_header(self, audio: np.ndarray, start: int, cfo: float,
+                    light: bool = False):
+        soft0, _ = self._demod_fixed(audio, start, LDPC_BITS)
+        ok0, chunk0 = decode_codewords(soft0[None, :], self.rate, None)
+        return parse_header(chunk0[0]) if ok0[0] else None
+
     def detect_sync(self, audio: np.ndarray, light: bool = False):
         from ria_tpu.wave import mfsk
 
@@ -639,18 +770,18 @@ class MFSKWaveform:
         return {"start": int(res.data_start), "cfo_hz": 0.0,
                 "corr": float(res.score), "kind": "mfsk"}
 
-    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None) -> RxFrame:
+    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None,
+                 sync: dict | None = None) -> RxFrame:
         from ria_tpu.wave import mfsk
 
-        sync = self.detect_sync(audio)
+        if sync is None:
+            sync = self.detect_sync(audio)
         if sync is None:
             return RxFrame(False, None, None, None, None)
         start = sync["start"]
 
         def demod(nbits):
-            res = mfsk.demodulate(jnp.asarray(np.asarray(audio[start:], np.float32)),
-                                  self.cfg, nbits)
-            return np.asarray(res.soft_bits), res
+            return self._demod_fixed(audio, start, nbits)
 
         soft0, _ = demod(LDPC_BITS)
         ok0, chunk0 = decode_codewords(soft0[None, :], self.rate, None)
@@ -670,7 +801,8 @@ class MFSKWaveform:
             ok = DataFrame.deserialize(frame_bytes) is not None
         ext = (self.cfg.frame_samples(total_cw * LDPC_BITS)
                - self.cfg.preamble_samples)
-        snr = spectral_snr_db(np.asarray(audio[start:start + ext], np.float32))
+        snr = spectral_snr_db(np.asarray(audio[start:start + ext], np.float32),
+                              noise_ref=_noise_ref(audio, start - self.cfg.preamble_samples))
         return RxFrame(ok, frame_bytes, header, oks, soft,
                        snr_db=snr, start_sample=start)
 

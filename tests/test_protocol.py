@@ -502,3 +502,23 @@ def test_mc_dpsk_carrier_recommendation_ladder():
     assert recommend_mc_dpsk_carriers(9.0) == 10
     assert recommend_mc_dpsk_carriers(12.0) == 13
     assert recommend_mc_dpsk_carriers(20.0) == 20
+
+
+def test_session_with_cfo_injection():
+    """Full session under an 8 Hz carrier frequency offset (reference
+    cli_simulator --cfo): chirp sync estimates CFO for the handshake, the
+    LTS light preamble carries its own estimate for connected OFDM data,
+    and the SNR negotiation stays honest through the bandlimited SSB-shift
+    channel (a true 10 dB must not negotiate coherent QAM)."""
+    from dataclasses import replace
+
+    sim = DualStationSim(replace(awgn(10.0), cfo_hz=8.0, cfo_enabled=True),
+                         seed=1)
+    got = []
+    sim.bravo.conn.on_message = lambda d: got.append(d)
+    assert sim.alpha.conn.connect("BRAVO")
+    assert sim.run_until(sim.both_connected, max_ticks=250)
+    link = sim.alpha.conn.link
+    assert link.modulation not in ("QAM16", "QAM32", "QAM64", "QAM256"), link
+    sim.alpha.conn.send_message(b"hello under cfo")
+    assert sim.run_until(lambda: got == [b"hello under cfo"], max_ticks=150)
