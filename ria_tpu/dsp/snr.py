@@ -51,11 +51,30 @@ def _psd_segments(x: np.ndarray, nfft: int) -> np.ndarray:
     return np.abs(np.fft.rfft(x[idx] * win, axis=-1)) ** 2
 
 
+def measure_noise_floor(window: np.ndarray, fs: float = 48000.0,
+                        signal_band: tuple[float, float] = (300.0, 2800.0),
+                        nfft: int = 4096) -> float | None:
+    """In-band per-bin noise floor of a (presumed) noise-only window —
+    the value `spectral_snr_db` accepts as noise_bin_prior.  Median over
+    all (segment, bin) periodogram values, chi^2_2-corrected."""
+    window = np.asarray(window, np.float32)
+    if len(window) < nfft:
+        return None
+    freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
+    sg = (freqs >= signal_band[0]) & (freqs <= signal_band[1])
+    flat = _psd_segments(window, nfft)[:, sg].ravel()
+    if not flat.size:
+        return None
+    return float(np.median(flat)) / np.log(2.0)
+
+
 def spectral_snr_db(audio: np.ndarray, fs: float = 48000.0,
                     signal_band: tuple[float, float] = (300.0, 2800.0),
                     noise_band: tuple[float, float] = (8000.0, 22000.0),
                     nfft: int = 4096,
-                    noise_ref: np.ndarray | None = None) -> float:
+                    noise_ref: np.ndarray | None = None,
+                    noise_bin_prior: float | None = None,
+                    return_floor: bool = False):
     """Estimate full-band-noise SNR of a bandlimited signal in white noise.
 
     audio: real samples containing (mostly) the frame of interest.
@@ -65,8 +84,14 @@ def spectral_snr_db(audio: np.ndarray, fs: float = 48000.0,
     ~3 dB floor bias at 25+ dB SNR when the TX band filter is off — the
     reference's default) and stays correct when the receiver's SSB filter
     has already stripped out-of-band noise (real radio audio).
+    noise_bin_prior: a previously measured in-band floor (the return_floor
+    value from an earlier frame) used when no gap window is available this
+    frame — a receiver-tracked noise floor, like the reference's OFDM
+    energy gate (ofdm_sync.cpp:20-47).
     Returns 10*log10(P_signal / P_noise_total) with P_noise_total the noise
     power over the whole Nyquist band — the simulator's SNR definition.
+    With return_floor=True returns (snr_db, noise_bin) so callers can track
+    the floor across frames.
     """
     freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
     sg = (freqs >= signal_band[0]) & (freqs <= signal_band[1])
@@ -78,6 +103,9 @@ def spectral_snr_db(audio: np.ndarray, fs: float = 48000.0,
         flat = _psd_segments(noise_ref, nfft)[:, sg].ravel()
         if flat.size:
             noise_bin = float(np.median(flat)) / np.log(2.0)
+
+    if noise_bin <= 0.0 and noise_bin_prior is not None and noise_bin_prior > 0.0:
+        noise_bin = float(noise_bin_prior)
 
     per_seg = _psd_segments(audio, nfft)
     if noise_bin <= 0.0:
@@ -98,5 +126,6 @@ def spectral_snr_db(audio: np.ndarray, fs: float = 48000.0,
     sig_power = float(np.sum(np.maximum(psd_sig - noise_bin, 0.0)))
     total_noise = noise_bin * len(freqs)
     if sig_power <= 0.0:
-        return -30.0
-    return float(np.clip(10.0 * np.log10(sig_power / total_noise), -30.0, 50.0))
+        return (-30.0, noise_bin) if return_floor else -30.0
+    snr = float(np.clip(10.0 * np.log10(sig_power / total_noise), -30.0, 50.0))
+    return (snr, noise_bin) if return_floor else snr

@@ -69,7 +69,19 @@ class LDPCCode:
 
 
 def _build_rows(rate: str) -> list[list[int]]:
-    """H rows (variable indices per check), identical to the reference build."""
+    """H rows (variable indices per check), identical to the reference build.
+
+    Known artifact reproduced deliberately for bit-compatibility: at high
+    rates the construction runs out of check capacity (each of m checks
+    accepts at most target_check_degree+2 = 6 edges, but k variables want 3
+    each), so the trailing info bits get ZERO parity connections — R3/4 has
+    161 unprotected columns, R5/6 has 323 (verified against the reference
+    algorithm, ldpc_encoder.cpp:94-118).  Those bits pass through BP at
+    their channel LLR only; a flip there is invisible to the parity check
+    and is caught by the frame CRC16 (and repaired by the CRC-aided
+    candidate list / erasure variants in fec/ldpc.py::decode_candidates).
+    This bounds the real coding gain of R3/4 and R5/6 — one reason the
+    selection tables only reach R3/4 at 20+ dB."""
     k, m = CODE_PARAMS[rate]
     rng = MT19937((0x12345678 + RATE_ENUM[rate]) & 0xFFFFFFFF)
 

@@ -95,6 +95,12 @@ class Station:
         # Caching it avoids re-running the sync search and the CW0 peek on
         # every audio tick while a long frame is still arriving.
         self._pending: dict | None = None
+        # Receiver-tracked in-band noise floor (reference ofdm_sync
+        # energy-gate tracker, ofdm_sync.cpp:20-47): learned from
+        # sync-search-miss (silence) windows, EMA'd, and handed to the
+        # waveforms' spectral SNR estimator for frames whose inter-frame
+        # gap was already consumed.
+        self._noise_floor: float | None = None
 
         from ria_tpu.fec.chase import ChaseCache
         from ria_tpu.phy.adaptive import LinkAdapter
@@ -259,6 +265,14 @@ class Station:
                 wf, light = self.handshake_wf, False
                 sync = self._windowed_detect(wf, False)
             if sync is None:
+                # No signal anywhere in the searched audio: the buffer tail
+                # is noise — feed the tracked noise floor.
+                from ria_tpu.dsp.snr import measure_noise_floor
+
+                nf = measure_noise_floor(self.rx_buffer[-8192:])
+                if nf is not None and nf > 0.0:
+                    self._noise_floor = (nf if self._noise_floor is None
+                                         else 0.5 * self._noise_floor + 0.5 * nf)
                 keep = 140000
                 if len(self.rx_buffer) > keep and self._min_search_pos() >= \
                         len(self.rx_buffer) - keep:
@@ -355,6 +369,10 @@ class Station:
 
         import time as _time
 
+        # Hand the station's tracked floor to the waveform's SNR estimator
+        # (and absorb any fresher gap measurement back after the decode).
+        if self._noise_floor is not None:
+            wf._noise_floor = self._noise_floor
         t0 = _time.perf_counter()
         rx = wf.rx_frame(self.rx_buffer, light=light, chase=self.chase, sync=sync)
         dt_ms = (_time.perf_counter() - t0) * 1e3
@@ -393,9 +411,13 @@ class Station:
             # Beacons are 4x-spread MC-DPSK; retry the chirp frame with the
             # spread demod profile before giving up on this sync.
             bwf = MCDPSKWaveform(modulation="DBPSK", rate="R1_4", spreading=4)
+            bwf._noise_floor = getattr(wf, "_noise_floor", None)
             brx = bwf.rx_frame(self.rx_buffer, light=False, sync=dict(sync))
             if brx.ok:
                 rx, wf = brx, bwf
+        nf = getattr(wf, "_noise_floor", None)
+        if nf is not None and nf > 0.0:
+            self._noise_floor = nf
         if rx.ok:
             ncw = 1 if rx.header["is_control"] else max(1, rx.header["total_cw"])
             self._consume(rx.start_sample + self._frame_body_samples(wf, ncw, rx.header["is_control"]))

@@ -249,6 +249,8 @@ class ChannelState(NamedTuple):
     q_tail: jnp.ndarray     # float32 [..., taps-1]: CFO lowpass Q history
     cfo_phase: jnp.ndarray  # float32 [...]: CFO rotator phase (rad, wrapped)
     mix_phase: jnp.ndarray  # float32 [...]: 1500 Hz mixer phase (rad, wrapped)
+    last_rms: jnp.ndarray   # float32 [..., 1]: signal rms of the last block
+    #                         that carried signal (stationary-noise memory)
 
 
 def init_channel_state(cfg: ChannelConfig, key: jax.Array,
@@ -268,7 +270,8 @@ def init_channel_state(cfg: ChannelConfig, key: jax.Array,
         x_tail=zeros(batch_shape + (max(cfg.delay_samples, 1),)),
         i_tail=zeros(batch_shape + (_CFO_LP_TAPS - 1,)),
         q_tail=zeros(batch_shape + (_CFO_LP_TAPS - 1,)),
-        cfo_phase=zeros(batch_shape), mix_phase=zeros(batch_shape))
+        cfo_phase=zeros(batch_shape), mix_phase=zeros(batch_shape),
+        last_rms=jnp.full(batch_shape + (1,), 0.1, jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -281,8 +284,17 @@ def apply_channel_stream(x: jnp.ndarray, key: jax.Array, cfg: ChannelConfig,
     nz = (jnp.abs(x) > 1e-6).astype(jnp.float32)
     count = jnp.maximum(jnp.sum(nz, axis=-1, keepdims=True), 1.0)
     power = jnp.sum(jnp.square(x) * nz, axis=-1, keepdims=True) / count
-    input_rms = jnp.where(jnp.sum(nz, axis=-1, keepdims=True) > 0,
-                          jnp.sqrt(power), 0.1)
+    has_signal = jnp.sum(nz, axis=-1, keepdims=True) > 0
+    # Stationary noise (DELIBERATE DEVIATION from the reference's per-call
+    # 0.1 fallback, hf_channel.hpp:110-128): silence blocks keep the noise
+    # level of the LAST signal-bearing block, like the reference's
+    # ContinuousAudioSimulator "always-on noise" air.  With the reference's
+    # fallback the inter-frame gap is ~10 dB quieter than in-frame noise,
+    # which poisons any receiver that estimates its noise floor from the
+    # gap — and real atmospheric noise does not drop when the remote stops
+    # transmitting.
+    input_rms = jnp.where(has_signal, jnp.sqrt(power), state.last_rms)
+    new_last_rms = jnp.where(has_signal, jnp.sqrt(power), state.last_rms)
     noise_std = input_rms * (10.0 ** (-cfg.snr_db / 20.0))
 
     out = x
@@ -330,5 +342,5 @@ def apply_channel_stream(x: jnp.ndarray, key: jax.Array, cfg: ChannelConfig,
 
     new_state = ChannelState(new_h1, new_h2, new_x_tail,
                              new_i_tail, new_q_tail,
-                             new_cfo_phase, new_mix_phase)
+                             new_cfo_phase, new_mix_phase, new_last_rms)
     return ChannelResult(out, h1_mag), new_state

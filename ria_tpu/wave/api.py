@@ -57,6 +57,25 @@ def _noise_ref(audio: np.ndarray, preamble_begin: int) -> np.ndarray | None:
     return None
 
 
+def _tracked_snr(obj, audio: np.ndarray, start: int, length: int,
+                 pre: int) -> float:
+    """Spectral SNR with a per-waveform tracked noise floor: measure the
+    floor from the inter-frame gap when one exists, else reuse the last
+    measured floor (a receiver-tracked quantity, like the reference's OFDM
+    energy-gate noise tracker, ofdm_sync.cpp:20-47).  Without the memory, a
+    frame whose gap was already consumed falls back to the out-of-band
+    floor, which reads near-zero on any bandlimited channel and clips the
+    estimate at +50 dB."""
+    ref = _noise_ref(audio, pre)
+    snr, floor = spectral_snr_db(np.asarray(audio[start:start + length], np.float32),
+                                 noise_ref=ref,
+                                 noise_bin_prior=getattr(obj, "_noise_floor", None),
+                                 return_floor=True)
+    if ref is not None and floor > 0.0:
+        obj._noise_floor = floor
+    return snr
+
+
 def _control_crc_gate(frame_bytes: bytes | None, cw_soft: np.ndarray,
                       rate: str) -> tuple[bool, bytes | None]:
     """Full-frame CRC16 gate for single-CW control frames.
@@ -308,9 +327,7 @@ class MCDPSKWaveform:
             * self.cfg.samples_per_symbol
         pre = start - (self.zc_cfg.preamble_samples if sync.get("kind") == "zc"
                        else self.cfg.chirp.total_samples)
-        snr_db = spectral_snr_db(np.asarray(audio[start:start + body_len],
-                                            np.float32),
-                                 noise_ref=_noise_ref(audio, pre))
+        snr_db = _tracked_snr(self, audio, start, body_len, pre)
         return RxFrame(ok, frame_bytes, header, oks, soft,
                        snr_db=snr_db,
                        fading_index=float(res.freq_fading_index + res.temporal_fading_index),
@@ -397,9 +414,7 @@ class _OFDMWaveformBase:
         # this frame's over-the-air signal begins (acquisition preamble).
         pre = self._pre_start if self._pre_start is not None \
             else lts_start - 2 * cfg.symbol_samples
-        return spectral_snr_db(np.asarray(audio[lts_start:lts_start + need],
-                                          np.float32),
-                               noise_ref=_noise_ref(audio, pre))
+        return _tracked_snr(self, audio, lts_start, need, pre)
 
     def _rx_at(self, audio, lts_start, cfo) -> RxFrame:
         # Control fast path: DQPSK R1/4 single codeword.
@@ -703,8 +718,8 @@ class OTFSWaveform:
             ok = DataFrame.deserialize(frame_bytes) is not None
         K = self._frames_for_bits(total_cw * LDPC_BITS)
         ext = K * (self.cfg.preamble_samples + self.cfg.frame_samples)
-        snr = spectral_snr_db(np.asarray(audio[start:start + ext], np.float32),
-                              noise_ref=_noise_ref(audio, start - self.zc_cfg.preamble_samples))
+        snr = _tracked_snr(self, audio, start, ext,
+                           start - self.zc_cfg.preamble_samples)
         return RxFrame(ok, frame_bytes, header, oks, soft, snr_db=snr,
                        cfo_hz=cfo, start_sample=start)
 
@@ -801,8 +816,8 @@ class MFSKWaveform:
             ok = DataFrame.deserialize(frame_bytes) is not None
         ext = (self.cfg.frame_samples(total_cw * LDPC_BITS)
                - self.cfg.preamble_samples)
-        snr = spectral_snr_db(np.asarray(audio[start:start + ext], np.float32),
-                              noise_ref=_noise_ref(audio, start - self.cfg.preamble_samples))
+        snr = _tracked_snr(self, audio, start, ext,
+                           start - self.cfg.preamble_samples)
         return RxFrame(ok, frame_bytes, header, oks, soft,
                        snr_db=snr, start_sample=start)
 

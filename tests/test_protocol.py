@@ -127,8 +127,12 @@ def test_full_session_awgn():
     assert sim.run_until(lambda: got_a == [b"hello back"], max_ticks=150)
 
     sim.alpha.conn.disconnect()
+    # run_until's max_ticks is an absolute tick bound: give the disconnect
+    # handshake (DISCONNECT -> ACK -> grace expiry, ~6 s virtual) its own
+    # budget on top of whatever the session has already used.
     assert sim.run_until(
-        lambda: sim.bravo.conn.state == ConnectionState.DISCONNECTED, max_ticks=100)
+        lambda: sim.bravo.conn.state == ConnectionState.DISCONNECTED,
+        max_ticks=sim.ticks + 100)
 
 
 def test_session_negotiates_ofdm_at_high_snr():
@@ -521,4 +525,5 @@ def test_session_with_cfo_injection():
     link = sim.alpha.conn.link
     assert link.modulation not in ("QAM16", "QAM32", "QAM64", "QAM256"), link
     sim.alpha.conn.send_message(b"hello under cfo")
-    assert sim.run_until(lambda: got == [b"hello under cfo"], max_ticks=150)
+    assert sim.run_until(lambda: got == [b"hello under cfo"],
+                         max_ticks=sim.ticks + 150)
