@@ -72,6 +72,9 @@ class Station:
         self.data_wf = self.handshake_wf
         self._pending_link: LinkMode | None = None
         self._mfsk_wf = None  # lazy MFSK fallback waveform
+        self._respond_mfsk = False  # peer's handshake arrived on MFSK
+        self._respond_spread4 = False  # peer's handshake arrived 4x-spread
+        self._spread4_wf = None  # lazy 4x-spread handshake waveform
 
         self.tx_queue: list[np.ndarray] = []
         # ModemEngine::postProcessTx parity (modem_engine.hpp:356).  The
@@ -83,7 +86,10 @@ class Station:
         self.tx_filter_enabled = False
         self.tx_lead_in_ms = 0.0
         self.rx_buffer = np.zeros(0, np.float32)
-        self.max_buffer = 48000 * 20
+        # DEVIATION from the reference's 20 s ring cap
+        # (streaming_decoder.hpp:448): an MFSK last-resort control frame is
+        # ~28 s of audio and must fit the ring to be decodable at all.
+        self.max_buffer = 48000 * 40
         self._last_failed_sync = -1
         self._searched_len = -1  # skip re-search until new audio arrives
         # Sliding-window sync search cursors, one per (waveform mode, light):
@@ -159,9 +165,20 @@ class Station:
                                          ConnectionState.DISCONNECTING)
         if handshake or not in_session:
             # After the DPSK budget, handshake frames ride the MFSK
-            # last-resort waveform (connection.hpp:29-33).
-            if handshake and self.conn.use_mfsk_fallback:
+            # last-resort waveform (connection.hpp:29-33).  A responder
+            # whose CONNECT arrived on MFSK answers in kind — the initiator
+            # fell back because DPSK is not getting through.
+            if handshake and (self.conn.use_mfsk_fallback or self._respond_mfsk):
                 wf, light = self.mfsk_wf, False
+            elif handshake and (self.conn.handshake_spreading > 1
+                                or self._respond_spread4):
+                # Spreading escalation for CONNECT retries / their ACKs
+                # (+6 dB); decoded by the peer's spread-4 hypothesis peek.
+                if self._spread4_wf is None:
+                    self._spread4_wf = MCDPSKWaveform(
+                        num_carriers=self.mc_carriers, modulation="DBPSK",
+                        rate="R1_4", spreading=4)
+                wf, light = self._spread4_wf, False
             else:
                 wf, light = self.handshake_wf, False
         else:
@@ -172,6 +189,8 @@ class Station:
         self.stats.frames_tx += 1
 
     def _on_mode_changed(self, link: LinkMode):
+        self._respond_mfsk = False
+        self._respond_spread4 = False
         if link.waveform == WaveformMode.MC_DPSK:
             wf = MCDPSKWaveform(num_carriers=self.mc_carriers,
                                 modulation=link.modulation, rate=link.rate,
@@ -264,6 +283,14 @@ class Station:
                 # still arrive.
                 wf, light = self.handshake_wf, False
                 sync = self._windowed_detect(wf, False)
+            if sync is None and not connected:
+                # Idle stations also listen for the MFSK last-resort
+                # handshake (a peer past its DPSK CONNECT budget,
+                # connection.hpp:29-33) — the fallback is useless if only
+                # the transmitter switches.
+                sync = self._windowed_detect(self.mfsk_wf, False)
+                if sync is not None:
+                    wf, light = self.mfsk_wf, False
             if sync is None:
                 # No signal anywhere in the searched audio: the buffer tail
                 # is noise — feed the tracked noise floor.
@@ -355,10 +382,68 @@ class Station:
         if start + self._frame_body_samples(wf, 1, control=True) > n:
             return
         if not pend["peeked"]:
-            pend["header"] = wf.peek_header(self.rx_buffer, start,
-                                            sync["cfo_hz"], light)
+            header = wf.peek_header(self.rx_buffer, start, sync["cfo_hz"], light)
+            if header is None and wf.header_required:
+                # Variable-CW waveforms carry the frame length in CW0: with
+                # no decodable header the frame cannot be sized or parsed,
+                # so waiting buys nothing.  Probe the reference's recovery
+                # offsets with cheap plain-BP peeks (timing rescue), then
+                # give up on this sync fast — the old behavior waited for a
+                # worst-case 8-CW span (~44 s of audio at MC-DPSK R1/4,
+                # longer than the ring buffer) and stalled the decoder.
+                for off in (-8, 8, -16, 16, -24, 24, -32, 32):
+                    h2 = wf.peek_header(self.rx_buffer, max(start + off, 0),
+                                        sync["cfo_hz"], light)
+                    if h2 is not None:
+                        start = max(start + off, 0)
+                        sync["start"] = start
+                        header = h2
+                        self.stats.sync_recoveries[off] = \
+                            self.stats.sync_recoveries.get(off, 0) + 1
+                        break
+            pend["header"] = header
             pend["peeked"] = True
         header = pend["header"]
+        if header is None and wf.header_required:
+            # 4x-spread beacon hypothesis (reference beacons broadcast as
+            # spread MC-DPSK): a beacon's CW0 never decodes under the
+            # spread-1 profile, so peek with the spread-4 profile before
+            # giving up on a chirp sync.
+            # Spread-4 hypothesis applies to beacons AND to handshake
+            # escalation frames — the latter can arrive while CONNECTED
+            # (a duplicate CONNECT retried spread-4 after our ACK faded).
+            if (sync["kind"] == "chirp"
+                    and isinstance(wf, MCDPSKWaveform) and wf.cfg.spreading == 1
+                    and not pend.get("beacon_ruled_out")):
+                hyps = pend.get("bwfs")
+                if hyps is None:
+                    # Session geometry first (spread-4 CONNECT escalation),
+                    # then the fixed 10-carrier broadcast beacon geometry.
+                    hyps = [MCDPSKWaveform(num_carriers=self.mc_carriers,
+                                           modulation="DBPSK", rate="R1_4",
+                                           spreading=4)]
+                    if self.mc_carriers != 10:
+                        hyps.append(MCDPSKWaveform(modulation="DBPSK",
+                                                   rate="R1_4", spreading=4))
+                    pend["bwfs"] = hyps
+                if start + max(self._frame_body_samples(h, 1) for h in hyps) > n:
+                    return  # wait for the spread CW0 span
+                for bwf in hyps:
+                    if self._noise_floor is not None:
+                        bwf._noise_floor = self._noise_floor
+                    b_hdr = bwf.peek_header(self.rx_buffer, start, sync["cfo_hz"])
+                    if b_hdr is not None:
+                        pend["wf"] = wf = bwf
+                        pend["light"] = light = False
+                        pend["header"] = header = b_hdr
+                        break
+                else:
+                    pend["beacon_ruled_out"] = True
+            if header is None:
+                self.stats.decode_failures += 1
+                self.stats.sync_skips += 1
+                self._consume(start + self._frame_body_samples(wf, 1))
+                return
         control = bool(header and header["is_control"])
         if header is not None:
             ncw = 1 if control else max(1, int(header["total_cw"]))
@@ -407,18 +492,18 @@ class Station:
                         self.stats.sync_recoveries[off] = \
                             self.stats.sync_recoveries.get(off, 0) + 1
                         break
-        if not rx.ok and not connected and sync["kind"] == "chirp":
-            # Beacons are 4x-spread MC-DPSK; retry the chirp frame with the
-            # spread demod profile before giving up on this sync.
-            bwf = MCDPSKWaveform(modulation="DBPSK", rate="R1_4", spreading=4)
-            bwf._noise_floor = getattr(wf, "_noise_floor", None)
-            brx = bwf.rx_frame(self.rx_buffer, light=False, sync=dict(sync))
-            if brx.ok:
-                rx, wf = brx, bwf
         nf = getattr(wf, "_noise_floor", None)
         if nf is not None and nf > 0.0:
             self._noise_floor = nf
         if rx.ok:
+            if not connected:
+                # Remember which waveform carried the peer's handshake so
+                # replies ride the same one (MFSK / spread-4 reciprocity).
+                from ria_tpu.wave.api import MFSKWaveform
+
+                self._respond_mfsk = isinstance(wf, MFSKWaveform)
+                self._respond_spread4 = (isinstance(wf, MCDPSKWaveform)
+                                         and wf.cfg.spreading == 4)
             ncw = 1 if rx.header["is_control"] else max(1, rx.header["total_cw"])
             self._consume(rx.start_sample + self._frame_body_samples(wf, ncw, rx.header["is_control"]))
             self.stats.frames_rx += 1

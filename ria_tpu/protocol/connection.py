@@ -97,6 +97,8 @@ class Connection:
         # Channel quality measured by the modem layer on handshake RX.
         self.measured_snr_db = 10.0
         self.measured_fading = 0.0
+        # Last CONNECT_ACK sent (responder): re-sent on duplicate CONNECT.
+        self._connect_ack_frame: bytes | None = None
 
         # Callbacks
         self.on_transmit: Callable[[bytes, bool], None] | None = None  # (frame, handshake?)
@@ -157,6 +159,11 @@ class Connection:
         Back-dates the matching ARQ ack timer to TX completion (half-duplex:
         no ACK can arrive while our own frame is still on the air)."""
         self.arq.notify_tx_air_ms(frame_bytes, air_ms)
+        if self.state == ConnectionState.CONNECTING:
+            # The CONNECT retry timer likewise counts from TX completion:
+            # an MFSK-fallback CONNECT occupies ~28 s of air — retrying on
+            # the wall-clock 12 s timeout would queue overlapping copies.
+            self._timer = min(self._timer, -int(air_ms))
 
     def _next_ctrl_seq(self) -> int:
         self._ctrl_seq = (self._ctrl_seq + 1) & 0xFFFE  # avoid DISCONNECT_SEQ
@@ -308,6 +315,19 @@ class Connection:
         return (self.state == ConnectionState.CONNECTING
                 and self._retries >= self.config.dpsk_connect_attempts)
 
+    @property
+    def handshake_spreading(self) -> int:
+        """Spreading escalation for CONNECT retries (beyond reference):
+        after two spread-1 DPSK attempts fail, remaining DPSK attempts ride
+        4x time-spreading (+6 dB) before the MFSK last resort — the
+        receiver's spread-4 hypothesis peek decodes them without prior
+        agreement.  Extends the honest-noise session floor below the
+        spread-1 CONNECT decode floor (~-8 dB AWGN)."""
+        if (self.state == ConnectionState.CONNECTING and self._retries >= 2
+                and not self.use_mfsk_fallback):
+            return 4
+        return 1
+
     def notify_pong_received(self):
         """Initiator: remote is alive; send the full CONNECT."""
         if self.state == ConnectionState.PROBING:
@@ -369,6 +389,7 @@ class Connection:
         self._disc_timeout_ms = self._disc_retx_ms = self._disc_retries = 0
         self._disc_ack_frame = None
         self._disc_pending_ms = self._disc_ack_retx_ms = 0
+        self._connect_ack_frame = None
         self.arq.reset()
         if prev != ConnectionState.DISCONNECTED and self.on_disconnected:
             self.on_disconnected(reason)
@@ -453,6 +474,15 @@ class Connection:
             self.arq.on_frame_received(frame_bytes)
 
     def _handle_connect(self, req: ConnectFrame):
+        if (self.state == ConnectionState.CONNECTED
+                and hash_callsign(req.src_callsign) == self.remote_hash
+                and self._connect_ack_frame is not None):
+            # Duplicate CONNECT: our CONNECT_ACK was lost — re-send it
+            # (reference handleConnect re-acks an already-accepted peer,
+            # connection_handlers.cpp:82; without this a faded ACK leaves
+            # the initiator retrying CONNECT forever against silence).
+            self._tx(self._connect_ack_frame, handshake=True)
+            return
         if self.state not in (ConnectionState.DISCONNECTED, ConnectionState.PROBING):
             return
         if not self.config.auto_accept:
@@ -478,7 +508,8 @@ class Connection:
             initial_modulation=MOD_ENUM[link.modulation],
             initial_code_rate=RATE_ENUM[link.rate],
             measured_snr=encode_snr(self.measured_snr_db) & ~0x03)
-        self._tx(ack.serialize(), handshake=True)
+        self._connect_ack_frame = ack.serialize()
+        self._tx(self._connect_ack_frame, handshake=True)
         self._enter_connected(link)
 
     def _handle_connect_ack(self, ack: ConnectFrame):

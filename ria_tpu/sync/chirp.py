@@ -47,6 +47,16 @@ class ChirpConfig:
     amplitude: float = 0.5
     use_dual_chirp: bool = True
     threshold: float = 0.15
+    # CFAR acceptance (beyond reference, mirrors the ZC detector's CFAR):
+    # accept when the up-chirp peak stands cfar_ratio above the median
+    # normalized correlation of the window, with absolute floors.  Measured
+    # populations (120k windows, stationary noise): true chirps have
+    # peak/median >= 22 down to -14 dB AWGN / -11 dB Watterson-good; pure
+    # noise <= 4.0.  The old all-absolute rule (both chirps >= 0.15)
+    # dropped frames whose down-chirp faded to ~0.13 at -11 dB good.
+    cfar_ratio: float = 6.0
+    cfar_abs_floor: float = 0.06
+    cfar_down_floor: float = 0.08
 
     @property
     def chirp_samples(self) -> int:
@@ -237,9 +247,13 @@ def _detect_dual_chirp_zoom(samples: jnp.ndarray, cfg: ChirpConfig,
     up_env = jnp.where(valid, env_up * inv, -1.0)
     up_coarse = (jnp.argmax(up_env, axis=-1).astype(jnp.int32)) * D
     up_pos, up_val = _refine_peak(x, up_coarse, up_mats, energy, chirp_len)
+    # CFAR floor: median normalized correlation over valid lags.
+    up_med = jnp.nanmedian(jnp.where(valid, env_up * inv, jnp.nan), axis=-1)
+    up_cfar = (up_val >= cfg.cfar_ratio * jnp.maximum(up_med, 1e-9)) \
+        & (up_val >= cfg.cfar_abs_floor)
 
     if not cfg.use_dual_chirp:
-        ok = up_val >= cfg.threshold
+        ok = (up_val >= cfg.threshold) | up_cfar
         res = ChirpSyncResult(ok, jnp.where(ok, up_pos, -1), jnp.zeros_like(up_val),
                               up_val, jnp.zeros_like(up_val))
         return ChirpSyncResult(*(v.reshape(shape) for v in res))
@@ -255,7 +269,9 @@ def _detect_dual_chirp_zoom(samples: jnp.ndarray, cfg: ChirpConfig,
     gap_error = (down_pos - up_pos - expected_gap).astype(jnp.float32)
     cfo = gap_error / (2.0 * cfg.cfo_to_samples)
 
-    ok = (up_val >= cfg.threshold) & (down_val >= cfg.threshold) & (jnp.abs(cfo) <= 100.0)
+    strong = (up_val >= cfg.threshold) & (down_val >= cfg.threshold)
+    cfar = up_cfar & (down_val >= cfg.cfar_down_floor)
+    ok = (strong | cfar) & (jnp.abs(cfo) <= 100.0)
     start = jnp.round(up_pos.astype(jnp.float32) + cfo * cfg.cfo_to_samples).astype(jnp.int32)
     res = ChirpSyncResult(
         detected=ok,
@@ -315,9 +331,12 @@ def detect_dual_chirp(samples: jnp.ndarray, cfg: ChirpConfig, num_samples: int |
     num_lags = up_corr.shape[-1]
     up_pos = jnp.argmax(up_corr, axis=-1).astype(jnp.int32)
     up_val = jnp.take_along_axis(up_corr, up_pos[..., None], axis=-1)[..., 0]
+    up_med = jnp.median(up_corr, axis=-1)
+    up_cfar = (up_val >= cfg.cfar_ratio * jnp.maximum(up_med, 1e-9)) \
+        & (up_val >= cfg.cfar_abs_floor)
 
     if not cfg.use_dual_chirp:
-        ok = up_val >= cfg.threshold
+        ok = (up_val >= cfg.threshold) | up_cfar
         return ChirpSyncResult(ok, jnp.where(ok, up_pos, -1), jnp.zeros_like(up_val),
                                up_val, jnp.zeros_like(up_val))
 
@@ -336,7 +355,9 @@ def detect_dual_chirp(samples: jnp.ndarray, cfg: ChirpConfig, num_samples: int |
     gap_error = (down_pos - up_pos - expected_gap).astype(jnp.float32)
     cfo = gap_error / (2.0 * cfg.cfo_to_samples)
 
-    ok = (up_val >= cfg.threshold) & (down_val >= cfg.threshold) & (jnp.abs(cfo) <= 100.0)
+    strong = (up_val >= cfg.threshold) & (down_val >= cfg.threshold)
+    cfar = up_cfar & (down_val >= cfg.cfar_down_floor)
+    ok = (strong | cfar) & (jnp.abs(cfo) <= 100.0)
     start = jnp.round(up_pos.astype(jnp.float32) + cfo * cfg.cfo_to_samples).astype(jnp.int32)
     return ChirpSyncResult(
         detected=ok,

@@ -155,7 +155,8 @@ class MCDPSKWaveform:
     """MC-DPSK: chirp handshake preamble, ZC connected-mode preamble."""
 
     mode = WaveformMode.MC_DPSK
-    fallback_cw = 8  # unknown-length wait/skip bound when CW0 peek fails
+    fallback_cw = 1   # header-less skip span (CW0 carries the length)
+    header_required = True  # variable-CW: no decodable CW0 => frame lost
 
     def __init__(self, num_carriers: int = 10, modulation: str = "DBPSK",
                  rate: str = "R1_4", spreading: int = 1,
@@ -339,6 +340,7 @@ class _OFDMWaveformBase:
     data frames fixed 4-CW with frame interleave (streaming_encoder.cpp)."""
 
     fallback_cw = 4  # data frames are always fixed 4-CW
+    header_required = False  # fixed-length decode can rescue a failed CW0
 
     def peek_header(self, audio: np.ndarray, lts_start: int, cfo: float,
                     light: bool = False):
@@ -604,7 +606,8 @@ class OTFSWaveform:
     preamble, after a single ZC acquisition preamble."""
 
     mode = WaveformMode.OTFS_EQ
-    fallback_cw = 8
+    fallback_cw = 1
+    header_required = True
 
     def __init__(self, modulation: str = "QPSK", rate: str = "R1_4",
                  raw_dd: bool = False):
@@ -729,7 +732,8 @@ class MFSKWaveform:
     mfsk_waveform.{hpp,cpp})."""
 
     mode = WaveformMode.MFSK
-    fallback_cw = 8
+    fallback_cw = 1
+    header_required = True
 
     def __init__(self, num_tones: int = 8, rate: str = "R1_4", modulation: str = "MFSK"):
         from ria_tpu.wave import mfsk

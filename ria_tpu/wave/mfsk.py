@@ -123,35 +123,68 @@ def _tone_powers(frames: jnp.ndarray, cfg: MFSKConfig) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def find_preamble(samples: jnp.ndarray, cfg: MFSKConfig) -> MFSKSyncResult:
-    """Score the known tone sweep at strided offsets; argmax."""
+    """Score the known tone sweep at sps/4-strided offsets; argmax.
+
+    Structure: frame the signal at 4 sub-symbol phases (one reshape each),
+    compute per-symbol tone powers, then slide the length-P sweep template
+    along the symbol axis with P cheap shifted gathers — O(4*S*sps*T) work
+    and a tiny XLA program.  (A vmap of dynamic slices over every offset
+    compiled a program with hundreds of window copies — minutes of CPU
+    compile time.)
+    """
     sps = cfg.samples_per_symbol
-    P = cfg.preamble_cycles * cfg.num_tones
+    T = cfg.num_tones
+    P = cfg.preamble_cycles * T
     need = cfg.preamble_samples
     n = samples.shape[-1]
     step = sps // 4
-    num_off = max((n - need) // step, 1)
-    if n < need + step:
+    if n < need + step or samples.ndim != 1:
         shape = samples.shape[:-1]
         return MFSKSyncResult(jnp.zeros(shape, bool), jnp.full(shape, -1, jnp.int32),
                               jnp.zeros(shape, jnp.float32))
 
-    offs = jnp.arange(num_off) * step
+    sweep = np.tile(np.arange(T), cfg.preamble_cycles)
+    S = n // sps  # symbols per phase (>= P + 1 given the length gate)
+    K = S - P + 1  # sweep alignments per phase
 
-    def score_at(off):
-        frames = jax.lax.dynamic_slice_in_dim(samples, off, need, axis=-1)
-        frames = frames.reshape(frames.shape[:-1] + (P, sps))
-        powers = _tone_powers(frames, cfg)  # [..., P, T]
-        sweep = np.tile(np.arange(cfg.num_tones), cfg.preamble_cycles)
-        expect = powers[..., jnp.arange(P), sweep]
-        total = jnp.sum(powers, axis=(-1, -2)) + 1e-9
-        return jnp.sum(expect, axis=-1) / total
+    def score_phase(p):
+        x = jax.lax.dynamic_slice_in_dim(samples, p * step, (n // sps) * sps
+                                         - sps, axis=-1)
+        frames = x.reshape((-1, sps))
+        powers = _tone_powers(frames, cfg)          # [S', T]
+        Sp = powers.shape[0]
+        Kp = Sp - P + 1
+        tot = jnp.sum(powers, axis=-1)              # [S']
+        csum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(tot)])
+        den = csum[P:] - csum[:-P]                  # [Kp]
+        hard = jnp.argmax(powers, axis=-1)          # [S']
+        num = jnp.zeros(Kp)
+        match = jnp.zeros(Kp)
+        for i, tone in enumerate(sweep):
+            num = num + jax.lax.dynamic_slice_in_dim(powers[:, tone], i, Kp)
+            match = match + (jax.lax.dynamic_slice_in_dim(hard, i, Kp) == tone)
+        return num / (den + 1e-9), match / P
 
-    scores = jax.vmap(score_at)(offs)  # [num_off, ...]
-    scores = jnp.moveaxis(scores, 0, -1)
-    best = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-    val = jnp.take_along_axis(scores, best[..., None], -1)[..., 0]
-    detected = val > 0.5  # sweep energy dominance
-    start = best * step + need
+    scores, matches, starts = [], [], []
+    for p in range(4):
+        sc, m = score_phase(p)
+        scores.append(sc)
+        matches.append(m)
+        starts.append(jnp.arange(sc.shape[0]) * sps + p * step + need)
+    scores = jnp.concatenate(scores)
+    matches = jnp.concatenate(matches)
+    starts = jnp.concatenate(starts)
+    best = jnp.argmax(scores)
+    val = scores[best]
+    mval = matches[best]
+    # Hard-decision sweep match: fraction of preamble symbols whose
+    # strongest tone IS the expected sweep tone.  Energy dominance alone
+    # false-fires on other sweeping signals (an up-chirp scores 0.74, an
+    # MC-DPSK preamble 0.73, vs true MFSK 0.92) — their per-symbol winners
+    # track the sweep for only a few symbols (match <=0.3) where true MFSK
+    # matches ~1.0 down to its floor.
+    detected = (val > 0.5) & (mval > 0.7)
+    start = starts[best].astype(jnp.int32)
     return MFSKSyncResult(detected, jnp.where(detected, start, -1), val)
 
 

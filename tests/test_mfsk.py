@@ -64,3 +64,35 @@ def test_bfsk_preset_loopback():
     ok, decoded, sync = _loopback(cfg, -4.0, seed=77, payload=b"BFSK!")
     assert ok, f"BFSK failed at -4 dB (score={float(sync.score):.2f})"
     assert decoded == b"BFSK!"
+
+
+def test_mfsk_preamble_rejects_sweeping_interferers():
+    """The MFSK sync must not fire on other sweeping signals: an up-chirp
+    scores 0.74 and an MC-DPSK preamble 0.73 on energy dominance alone —
+    the per-symbol hard-decision sweep-match gate (>0.7) rejects both while
+    true MFSK still detects at -8 dB."""
+    import jax
+
+    from ria_tpu.sim.channel import awgn, apply_channel
+    from ria_tpu.sync.chirp import ChirpConfig, generate
+    from ria_tpu.wave import mc_dpsk
+    from ria_tpu.wave.mfsk import MFSKConfig, find_preamble, generate_preamble
+
+    cfg = MFSKConfig()
+    W = 96000
+
+    def put(sig):
+        a = np.zeros(W, np.float32)
+        n = min(len(sig), W - 2000)
+        a[2000 : 2000 + n] = np.asarray(sig[:n])
+        return a
+
+    for sig, snr, expect in [
+        (generate_preamble(cfg), -8.0, True),
+        (np.asarray(generate(ChirpConfig())), 5.0, False),
+        (np.asarray(mc_dpsk.preamble(mc_dpsk.MCDPSKConfig())), 5.0, False),
+    ]:
+        rx = np.asarray(apply_channel(jnp.asarray(put(sig)),
+                                      jax.random.PRNGKey(3), awgn(snr)).samples)
+        res = find_preamble(jnp.asarray(rx), cfg)
+        assert bool(res.detected) == expect, (snr, float(res.score))

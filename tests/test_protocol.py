@@ -229,9 +229,12 @@ def test_mfsk_connect_fallback_switch():
     st.conn.connect("VE3ABC")
     st.conn.notify_pong_received()  # enter CONNECTING, sends CONNECT #0
     assert not st.conn.use_mfsk_fallback
-    # Time out 5 DPSK connect attempts.
+    # Time out 5 DPSK connect attempts.  The retry timer counts from TX
+    # completion (notify_tx_air_ms back-dating), so each tick must cover
+    # the timeout plus the frame's air time (spread-4 escalation frames
+    # from attempt 2 run ~11 s).
     for _ in range(5):
-        st.conn.tick(st.conn.config.connect_timeout_ms)
+        st.conn.tick(st.conn.config.connect_timeout_ms + 15000)
     assert st.conn.use_mfsk_fallback
     st.tx_queue.clear()
     st.conn._send_connect()
@@ -527,3 +530,62 @@ def test_session_with_cfo_injection():
     sim.alpha.conn.send_message(b"hello under cfo")
     assert sim.run_until(lambda: got == [b"hello under cfo"],
                          max_ticks=sim.ticks + 150)
+
+
+def test_duplicate_connect_reacked():
+    """A lost CONNECT_ACK must be recoverable: when the responder is
+    already CONNECTED and the same peer's CONNECT arrives again, the stored
+    ACK is re-sent (reference handleConnect re-ack; without it the
+    initiator retries against silence forever)."""
+    from ria_tpu.phy.frame_v2 import ConnectFrame, FrameType
+    from ria_tpu.protocol.connection import Connection
+
+    b = Connection()
+    b.set_local_callsign("VE3ABC")
+    sent = []
+    b.on_transmit = lambda fb, hs: sent.append(fb)
+    req = ConnectFrame(type=FrameType.CONNECT, src_callsign="W1AW",
+                       dst_callsign="VE3ABC", mode_capabilities=0x3F)
+    b.on_frame_received(req.serialize())
+    assert b.state == ConnectionState.CONNECTED
+    n_after_first = len(sent)
+    ack1 = sent[-1]
+    assert ConnectFrame.deserialize(ack1).type == FrameType.CONNECT_ACK
+    # Duplicate CONNECT (initiator never got the ACK): must re-send it.
+    b.on_frame_received(req.serialize())
+    assert len(sent) == n_after_first + 1
+    assert sent[-1] == ack1
+
+
+def test_connect_spreading_escalation():
+    """CONNECT retries escalate to 4x spreading after two spread-1 DPSK
+    attempts (beyond reference; +6 dB on the handshake), before the MFSK
+    last resort."""
+    from ria_tpu.phy.station import Station
+
+    st = Station("W1AW")
+    st.conn.connect("VE3ABC")
+    st.conn.notify_pong_received()  # CONNECT #0, spread-1
+    assert st.conn.handshake_spreading == 1
+    base_len = len(st.tx_queue[-1])
+    for _ in range(2):
+        st.conn.tick(st.conn.config.connect_timeout_ms + 15000)
+    assert st.conn.handshake_spreading == 4
+    assert not st.conn.use_mfsk_fallback
+    spread_len = len(st.tx_queue[-1])
+    assert spread_len > 2 * base_len  # 4x-spread frame is ~4x the body
+
+
+def test_session_low_snr_fading_floor():
+    """Full session at -8 dB on Watterson good fading with HONEST
+    stationary noise (the gap is as loud as in-frame noise): connects via
+    the spread-4 handshake escalation and delivers."""
+    sim = DualStationSim(good(-8.0), seed=42)
+    got = []
+    sim.bravo.conn.on_message = lambda d: got.append(d)
+    assert sim.alpha.conn.connect("BRAVO")
+    assert sim.run_until(sim.both_connected, max_ticks=450)
+    assert sim.alpha.conn.link.spreading == 4
+    sim.alpha.conn.send_message(b"low snr msg")
+    assert sim.run_until(lambda: got == [b"low snr msg"],
+                         max_ticks=sim.ticks + 250)

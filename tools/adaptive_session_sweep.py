@@ -37,15 +37,18 @@ import types
 from cli_simulator import run_session
 
 # Default grid: floor of each operating regime on its intended channel.
-#   -11 dB  MC-DPSK 4x spread territory (verified floor -8 AWGN; good fading
-#           costs ~3 dB, sessions still close via chase+ARQ)
-#    -5 dB  MC-DPSK 2x
+#   -8 dB  session floor on good fading with HONEST stationary noise:
+#          PING + spread-4 CONNECT escalation territory.  (The earlier -11
+#          point only passed while the simulator's inter-frame gaps were
+#          ~10 dB quieter than in-frame noise, the reference's per-call
+#          normalization artifact; -11 still closes on AWGN.)
+#    -5 dB  MC-DPSK 4x/2x
 #     0 dB  MC-DPSK DBPSK
 #     6 dB  MC-DPSK DQPSK
 #    12 dB  OFDM DQPSK low rate
 #    18 dB  OFDM DQPSK/QAM16 mid rate
 #    25 dB  coherent QAM high rate
-DEFAULT_SNRS = [-11.0, -5.0, 0.0, 6.0, 12.0, 18.0, 25.0]
+DEFAULT_SNRS = [-8.0, -5.0, 0.0, 6.0, 12.0, 18.0, 25.0]
 
 
 def main(argv=None) -> int:

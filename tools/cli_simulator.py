@@ -37,7 +37,9 @@ def run_session(args, seed: int) -> dict:
     from ria_tpu.sim.simulator import DualStationSim
 
     channel = PRESETS[args.channel](args.snr)
-    if args.cfo:
+    # getattr defaults: run_session is also driven by other tools (e.g.
+    # adaptive_session_sweep) that build a minimal args namespace.
+    if getattr(args, "cfo", 0.0):
         from dataclasses import replace
 
         channel = replace(channel, cfo_hz=args.cfo, cfo_enabled=True)
@@ -52,10 +54,10 @@ def run_session(args, seed: int) -> dict:
 
     sim = DualStationSim(channel, seed=seed, config_a=cfg_a, config_b=cfg_b,
                          save_signals=args.save_signals,
-                         mc_carriers=args.carriers,
-                         chase_enabled=not args.no_chase,
-                         feed_chunk_ms=args.feed_chunk_ms,
-                         decode_delay_blocks=args.decode_delay_blocks)
+                         mc_carriers=getattr(args, "carriers", 10),
+                         chase_enabled=not getattr(args, "no_chase", False),
+                         feed_chunk_ms=getattr(args, "feed_chunk_ms", None),
+                         decode_delay_blocks=getattr(args, "decode_delay_blocks", 1))
     result = {"seed": seed, "connected": False, "messages": 0, "file_ok": False,
               "disconnected": False, "retransmissions": 0}
     got_b, got_a = [], []
@@ -64,7 +66,10 @@ def run_session(args, seed: int) -> dict:
 
     t0 = time.time()
     assert sim.alpha.conn.connect("BRAVO")
-    if not sim.run_until(sim.both_connected, max_ticks=300):
+    # Connect budget: low-SNR fading handshakes legitimately take several
+    # retry rounds (spread-4 escalation after 2, MFSK after 5) — ~350 ticks
+    # (70 s virtual) at the -8 dB good-fading floor.
+    if not sim.run_until(sim.both_connected, max_ticks=450):
         print(f"  seed {seed}: CONNECT FAILED "
               f"(A={sim.alpha.conn.state.name} B={sim.bravo.conn.state.name})")
         sim.close()
