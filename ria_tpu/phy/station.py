@@ -72,8 +72,10 @@ class Station:
         self.data_wf = self.handshake_wf
         self._pending_link: LinkMode | None = None
         self._mfsk_wf = None  # lazy MFSK fallback waveform
-        self._respond_mfsk = False  # peer's handshake arrived on MFSK
-        self._respond_spread4 = False  # peer's handshake arrived 4x-spread
+        self._respond_mfsk = False  # peer's CONNECT arrived on MFSK
+        self._respond_spread4 = False  # peer's CONNECT arrived 4x-spread
+        self._respond_set_ms = 0.0  # when the reciprocity flags were set
+        self._prev_conn_state = ConnectionState.DISCONNECTED
         self._spread4_wf = None  # lazy 4x-spread handshake waveform
 
         self.tx_queue: list[np.ndarray] = []
@@ -96,6 +98,9 @@ class Station:
         # content before the cursor has been searched and holds no sync
         # (reference correlation_pos_, streaming_decoder.cpp:386-470).
         self._search_pos: dict = {}
+        # Waveform keys searched in the current poll (drives the idle-trim
+        # and noise-floor windows; stale cursors are excluded).
+        self._polled_keys: list = []
         # SYNC_FOUND state (reference state machine SEARCHING -> SYNC_FOUND
         # -> DECODING): a detected sync waiting for enough buffered samples.
         # Caching it avoids re-running the sync search and the CW0 peek on
@@ -274,6 +279,7 @@ class Station:
 
         connected = self.conn.state in (ConnectionState.CONNECTED,
                                         ConnectionState.DISCONNECTING)
+        self._polled_keys = []
         if self._pending is None:
             wf = self.data_wf if connected else self.handshake_wf
             light = connected
@@ -292,17 +298,27 @@ class Station:
                 if sync is not None:
                     wf, light = self.mfsk_wf, False
             if sync is None:
-                # No signal anywhere in the searched audio: the buffer tail
-                # is noise — feed the tracked noise floor.
+                # No sync anywhere in the *searched* audio: the region up to
+                # the search cursor is noise — feed the tracked floor from a
+                # window ENDING AT THE CURSOR, not the buffer end (the tail
+                # can hold a partially-arrived preamble/frame deferred by
+                # the trailing-margin check, which would poison the EMA and
+                # bias SNR estimates low).
                 from ria_tpu.dsp.snr import measure_noise_floor
 
-                nf = measure_noise_floor(self.rx_buffer[-8192:])
-                if nf is not None and nf > 0.0:
-                    self._noise_floor = (nf if self._noise_floor is None
-                                         else 0.5 * self._noise_floor + 0.5 * nf)
+                mp = self._min_search_pos()
+                if mp > 2048:
+                    nf = measure_noise_floor(self.rx_buffer[max(0, mp - 8192):mp])
+                    # Guard: a window far above the current floor is signal
+                    # (e.g. an OFDM body ahead of its detected preamble), not
+                    # a quieter channel — skip rather than learn it.
+                    if (nf is not None and nf > 0.0
+                            and (self._noise_floor is None
+                                 or nf < 4.0 * self._noise_floor)):
+                        self._noise_floor = (nf if self._noise_floor is None
+                                             else 0.5 * self._noise_floor + 0.5 * nf)
                 keep = 140000
-                if len(self.rx_buffer) > keep and self._min_search_pos() >= \
-                        len(self.rx_buffer) - keep:
+                if len(self.rx_buffer) > keep and mp >= len(self.rx_buffer) - keep:
                     self._consume(len(self.rx_buffer) - keep)
                 return
             self._pending = {"sync": sync, "wf": wf, "light": light,
@@ -311,7 +327,14 @@ class Station:
         self._process_pending(connected)
 
     def _min_search_pos(self) -> int:
-        return min(self._search_pos.values()) if self._search_pos else 0
+        """Min cursor over the waveforms searched in the CURRENT poll.
+
+        Stale cursors from waveforms no longer being searched (e.g. the
+        pre-connect MFSK cursor once connected) must not pin the idle-buffer
+        trim at 0 forever — only cursors that are still advancing count."""
+        pos = [self._search_pos[k] for k in self._polled_keys
+               if k in self._search_pos]
+        return min(pos) if pos else 0
 
     def _windowed_detect(self, wf, light: bool):
         """Sliding fixed-size sync search with a persistent cursor.
@@ -325,6 +348,8 @@ class Station:
         if n <= 4000:
             return None
         key = (wf.mode, light)
+        if key not in self._polled_keys:
+            self._polled_keys.append(key)
         W = wf.search_window(light)
         ov = wf.search_overlap(light)
         p = max(0, min(self._search_pos.get(key, 0), n))
@@ -496,14 +521,19 @@ class Station:
         if nf is not None and nf > 0.0:
             self._noise_floor = nf
         if rx.ok:
-            if not connected:
-                # Remember which waveform carried the peer's handshake so
+            if not connected and self._is_connect_for_me(rx.header):
+                # Remember which waveform carried the peer's CONNECT so the
                 # replies ride the same one (MFSK / spread-4 reciprocity).
+                # Gated on a CONNECT-family frame addressed to THIS station:
+                # an overheard 4x-spread BEACON or third-party handshake
+                # must not escalate our own future handshakes (~4x air time
+                # / ~28 s MFSK frames) on a clean channel.
                 from ria_tpu.wave.api import MFSKWaveform
 
                 self._respond_mfsk = isinstance(wf, MFSKWaveform)
                 self._respond_spread4 = (isinstance(wf, MCDPSKWaveform)
                                          and wf.cfg.spreading == 4)
+                self._respond_set_ms = self._now_ms
             ncw = 1 if rx.header["is_control"] else max(1, rx.header["total_cw"])
             self._consume(rx.start_sample + self._frame_body_samples(wf, ncw, rx.header["is_control"]))
             self.stats.frames_rx += 1
@@ -533,6 +563,16 @@ class Station:
                                           rx.header["seq"], bitmap)
             self._on_conn_transmit(nack.serialize(), handshake=False)
         self._consume(start + self._frame_body_samples(wf, ncw, control))
+
+    def _is_connect_for_me(self, header: dict | None) -> bool:
+        """True when header is a CONNECT/CONNECT_ACK addressed to us."""
+        if header is None:
+            return False
+        from ria_tpu.phy.frame_v2 import FrameType, hash_callsign
+
+        if header.get("type") not in (FrameType.CONNECT, FrameType.CONNECT_ACK):
+            return False
+        return header.get("dst_hash") == hash_callsign(self.callsign)
 
     @staticmethod
     def _frame_body_samples(wf, ncw: int, control: bool = False) -> int:
@@ -585,3 +625,17 @@ class Station:
         if poll:
             self.poll()
         self.conn.tick(elapsed_ms)
+        # Reciprocity-flag hygiene: clear on session end (the peer that
+        # escalated is gone) and after a 60 s TTL when the handshake that set
+        # them never completed — a stale flag would otherwise escalate every
+        # future handshake to spread-4/MFSK air time forever.
+        state = self.conn.state
+        if self._respond_mfsk or self._respond_spread4:
+            ended = (state == ConnectionState.DISCONNECTED
+                     and self._prev_conn_state != ConnectionState.DISCONNECTED)
+            stale = (state == ConnectionState.DISCONNECTED
+                     and self._now_ms - self._respond_set_ms > 60_000)
+            if ended or stale:
+                self._respond_mfsk = False
+                self._respond_spread4 = False
+        self._prev_conn_state = state
