@@ -151,7 +151,6 @@ def demodulate(frame_samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: MCDPSKConfi
     Batched over leading axes.
     """
     sps = cfg.samples_per_symbol
-    C = cfg.num_carriers
     T = cfg.training_symbols
     R = num_data_symbols * cfg.spreading
     need = (T + 1 + R) * sps
@@ -180,6 +179,20 @@ def demodulate(frame_samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: MCDPSKConfi
     M = jnp.asarray(np.conj(_synth_matrix(cfg)) / cfg.samples_per_symbol)
     syms = x.reshape(x.shape[:-1] + (S_all, sps)).astype(jnp.complex64)
     zsym = (syms * rot_in[..., None, :]) @ M * rot_sym[..., :, None]  # [..., S, C]
+    return soft_from_zsym(zsym, cfg, num_data_symbols)
+
+
+def soft_from_zsym(zsym: jnp.ndarray, cfg: MCDPSKConfig,
+                   num_data_symbols: int) -> MCDPSKDemodResult:
+    """Differential decode + LLR stage on mix-integrated symbols.
+
+    zsym: [..., T+1+R, C] complex carrier integrals (training, reference,
+    data).  Split out of demodulate() so the sequence-parallel stream
+    pipeline (ria_tpu.parallel.stream), whose mix-integrate stage runs
+    distributed over time-block shards, shares these exact numerics.
+    """
+    T = cfg.training_symbols
+    C = cfg.num_carriers
 
     z_ref = zsym[..., T, :]
     z_data = zsym[..., T + 1 :, :]

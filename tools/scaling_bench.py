@@ -19,9 +19,71 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # sitecustomize forces jax_platforms="axon,cpu" at interpreter start;
+    # honor the caller's explicit CPU request (see tests/conftest.py).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import time
 
 import numpy as np
+
+
+def stream_main():
+    """Strong scaling of the time-block stream RX (parallel/stream.py): a
+    fixed 16 s production-geometry stream is sharded over 1/2/4/8 devices;
+    ideal scaling = wall time / n.  Efficiency < 1 reflects the halo overlap
+    (each device re-searches one preamble length of its neighbor) plus the
+    collectives."""
+    import time
+
+    import jax
+
+    from ria_tpu.fec.ldpc import make_encoder
+    from ria_tpu.fec.ldpc_matrix import get_code
+    from ria_tpu.parallel.stream import make_stream_mesh, make_stream_rx
+    from ria_tpu.wave.mc_dpsk import MCDPSKConfig, modulate, preamble
+
+    cfg = MCDPSKConfig(num_carriers=10, bits_per_symbol=1)
+    ncw, total = 4, 8 * 96000
+    rng = np.random.default_rng(0)
+    code = get_code("R1_4")
+    info = rng.integers(0, 2, (ncw, code.k)).astype(np.uint8)
+    coded = np.asarray(make_encoder("R1_4")(info)).reshape(-1)
+    tx = np.concatenate([preamble(cfg), modulate(coded, cfg)])
+    stream = np.zeros(total, np.float32)
+    pos = 150000
+    stream[pos : pos + len(tx)] = tx
+    rms = float(np.sqrt(np.mean(tx**2)))
+    stream += rng.normal(0, rms * 10 ** (-10 / 20), total).astype(np.float32)
+
+    n_avail = len(jax.devices())
+    print(f"stream strong scaling: {total/48000:.0f}s audio, "
+          f"frame={len(tx)} samples ({jax.devices()[0].platform})")
+    base_dt = None
+    n = 1
+    while n <= n_avail:
+        block = total // n
+        mesh = make_stream_mesh(n)
+        rx = make_stream_rx(mesh, cfg, "R1_4", ncw, block)
+        out = rx(stream)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            out = rx(stream)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        sps = total / dt
+        if base_dt is None:
+            base_dt = dt
+        eff = base_dt / (n * dt)  # strong scaling: ideal = 1.0
+        ok = float(np.asarray(out["cw_success"]).mean())
+        print(f"devices={n}  block={block}  {dt*1e3:8.2f} ms"
+              f"  {sps/1e6:8.1f} Msamp/s  strong-eff={eff:5.2f}  decode={ok:.2f}")
+        n *= 2
 
 
 def main():
@@ -88,4 +150,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--stream" in _sys.argv:
+        stream_main()
+    else:
+        main()
