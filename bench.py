@@ -1,14 +1,18 @@
-"""Benchmark: full MC-DPSK RX chain throughput on real hardware.
+"""Benchmark: full RX chain throughput on real hardware — BOTH workhorses.
 
-Measures the complete receive pipeline — dual-chirp sync search + CFO
-estimation (FFT matched filter), mixer-bank demodulation, and batched LDPC
-min-sum decode (4 codewords/frame, R1/4) — over a batch of independent
-channel windows, end to end under jit.
+Chain 1 (headline metric): MC-DPSK — dual-chirp sync search + CFO estimation
+(zoom FFT matched filter), mixer-bank demodulation, batched LDPC min-sum
+decode (4 codewords/frame, R1/4) at 10 dB AWGN.
 
-Prints ONE JSON line: samples/s through the RX chain per chip;
+Chain 2 (detail): OFDM DQPSK R1/2 at 15 dB (north-star config #3) —
+Schmidl-Cox search, CP strip + 1024-pt FFT, LTS channel estimate, MMSE
+equalization, soft demap, frame/channel deinterleave, batched LDPC.
+
+Prints ONE JSON line: samples/s through the MC-DPSK RX chain per chip;
 vs_baseline is the multiple of real-time (48 kHz audio) sustained, i.e. how
 many live HF channels one chip can decode concurrently (the reference C++
 decoder runs ~1 channel per core in real time; north star is >=100x).
+The OFDM chain's throughput and decode rate ride in `detail.ofdm`.
 """
 
 from __future__ import annotations
@@ -19,16 +23,26 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def _bench_chain(rx, variants, iters: int):
+    out = rx(variants[0])
     import jax
 
-    # Persistent compilation cache: the remote TPU compile service shows
-    # transient multi-minute latencies; caching makes repeat runs immune.
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = rx(variants[i % len(variants)])
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0, out
 
-    from ria_tpu.phy.pipeline import make_rx_pipeline
+
+def _mc_dpsk_case(rng):
+    """(rx, variants, batch, window, expected-decode check array)."""
+    from ria_tpu.fec.ldpc import make_encoder
+    from ria_tpu.fec.ldpc_matrix import get_code
+    from ria_tpu.phy.pipeline import make_rx_pipeline, make_tx_pipeline
     from ria_tpu.wave.mc_dpsk import MCDPSKConfig
+
+    import jax
 
     # Production geometry: 10-carrier DBPSK, R1/4, fixed 4-CW data frame.
     cfg = MCDPSKConfig(num_carriers=10, bits_per_symbol=1)
@@ -37,12 +51,6 @@ def main() -> None:
     batch = 64  # measured sweet spot on v5e (B=128 hits memory pressure)
     window = cfg.frame_samples(num_bits) + 12000  # frame + search slack
 
-    # Build the TX side once (host) and place frames at random offsets.
-    from ria_tpu.fec.ldpc import make_encoder
-    from ria_tpu.fec.ldpc_matrix import get_code
-    from ria_tpu.phy.pipeline import make_tx_pipeline
-
-    rng = np.random.default_rng(0)
     code = get_code("R1_4")
     info = rng.integers(0, 2, size=(batch * ncw, code.k)).astype(np.uint8)
     coded = np.asarray(make_encoder("R1_4")(info)).reshape(batch, num_bits)
@@ -59,12 +67,56 @@ def main() -> None:
     rx = make_rx_pipeline(cfg, "R1_4", ncw, window, batch_hint=batch)
     # Rotate distinct device buffers so no runtime-level result caching can
     # shortcut repeated executions.
-    variants = []
-    for _ in range(6):
-        va = audio + rng.normal(0, 1e-4, audio.shape).astype(np.float32)
-        variants.append(jax.device_put(va))
+    variants = [jax.device_put(audio + rng.normal(0, 1e-4, audio.shape)
+                               .astype(np.float32)) for _ in range(6)]
+    return rx, variants, batch, window
 
-    # Warmup / compile.
+
+def _ofdm_case(rng):
+    from ria_tpu.fec.ldpc_matrix import get_code
+    from ria_tpu.phy.frame_v2 import encode_fixed_frame
+    from ria_tpu.phy.pipeline import make_ofdm_rx_pipeline
+    from ria_tpu.wave.ofdm import OFDMConfig, tx_frame
+
+    import jax
+
+    # North-star config #3: OFDM DQPSK R1/2 @ 15 dB, fixed 4-CW frames.
+    cfg = OFDMConfig(modulation="DQPSK", use_pilots=False)
+    rate = "R1_2"
+    ci = cfg.bits_per_ofdm_symbol()
+    batch = 64
+    bpc = get_code(rate).k // 8
+    S = cfg.num_symbols_for_bits(4 * 648)
+    window = cfg.preamble_samples + (2 + S) * cfg.symbol_samples + 8000
+
+    audio = np.zeros((batch, window), np.float32)
+    rms = None
+    for b in range(batch):
+        payload = rng.integers(0, 256, 4 * bpc).astype(np.uint8).tobytes()
+        tx = tx_frame(encode_fixed_frame(payload, rate, ci), cfg, preamble="cox")
+        lead = int(rng.integers(0, 4000))
+        audio[b, lead : lead + len(tx)] = tx
+        rms = float(np.sqrt(np.mean(tx**2)))
+    audio += rng.normal(0, rms * 10 ** (-15 / 20), audio.shape).astype(np.float32)
+
+    rx = make_ofdm_rx_pipeline(cfg, rate, window, ci, batch_hint=batch)
+    variants = [jax.device_put(audio + rng.normal(0, 1e-4, audio.shape)
+                               .astype(np.float32)) for _ in range(6)]
+    return rx, variants, batch, window
+
+
+def main() -> None:
+    import jax
+
+    # Persistent compilation cache: the remote TPU compile service shows
+    # transient multi-minute latencies; caching makes repeat runs immune.
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rng = np.random.default_rng(0)
+
+    # ---- chain 1: MC-DPSK (headline) ----
+    rx, variants, batch, window = _mc_dpsk_case(rng)
     out = rx(variants[0])
     jax.block_until_ready(out)
     ok = np.asarray(out.cw_success)
@@ -76,16 +128,20 @@ def main() -> None:
     # (measured dispatch-N-fetch-one slope: RTT + ~4.5 ms/exec), so the
     # reported figure approaches true sustained throughput.
     iters = 60
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = rx(variants[i % len(variants)])
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    samples = batch * window * iters
-    samples_per_s = samples / dt
+    dt, out = _bench_chain(rx, variants, iters)
+    samples_per_s = batch * window * iters / dt
     frames_per_s = batch * iters / dt
     vs_realtime = samples_per_s / 48000.0
+
+    # ---- chain 2: OFDM DQPSK R1/2 @ 15 dB (north-star config #3) ----
+    orx, ovariants, obatch, owindow = _ofdm_case(rng)
+    oout = orx(ovariants[0])
+    jax.block_until_ready(oout)
+    ook = np.asarray(oout.cw_success)
+    odet = np.asarray(oout.detected)
+    oiters = 60
+    odt, oout = _bench_chain(orx, ovariants, oiters)
+    ofdm_sps = obatch * owindow * oiters / odt
 
     print(json.dumps({
         "metric": "rx_chain_samples_per_sec_per_chip",
@@ -99,6 +155,14 @@ def main() -> None:
             "snr_db": 10.0,
             "cw_decode_rate": round(float(ok.mean()), 4),
             "device": str(jax.devices()[0]),
+            "ofdm": {
+                "mode": "DQPSK R1_2 @ 15 dB (config #3)",
+                "samples_per_s": round(ofdm_sps, 1),
+                "vs_realtime": round(ofdm_sps / 48000.0, 2),
+                "frames_decoded_per_s": round(obatch * oiters / odt, 2),
+                "detected": int(odet.sum()),
+                "cw_decode_rate": round(float(ook.mean()), 4),
+            },
         },
     }))
 

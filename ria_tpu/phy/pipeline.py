@@ -97,6 +97,74 @@ def make_rx_pipeline(cfg: MCDPSKConfig, rate: str, num_codewords: int,
     return jax.jit(rx)
 
 
+class OFDMRxBatchResult(NamedTuple):
+    detected: jnp.ndarray    # [B] bool
+    lts_start: jnp.ndarray   # [B] int32
+    cfo_hz: jnp.ndarray      # [B]
+    cw_success: jnp.ndarray  # [B, 4] bool
+    info_bits: jnp.ndarray   # [B, 4, k] uint8
+    iterations: jnp.ndarray  # [B, 4]
+    snr_db: jnp.ndarray      # [B]
+
+
+@functools.lru_cache(maxsize=None)
+def make_ofdm_rx_pipeline(cfg, rate: str, window_samples: int,
+                          ci_bits: int | None = None, batch_hint: int = 0,
+                          min_sum_factor: float = 0.9375):
+    """Batched OFDM RX over [B, window]: one jitted program running
+    Schmidl-Cox search -> CP strip + 1024-pt FFT -> LTS channel estimate ->
+    MMSE equalize -> soft demap -> frame/channel deinterleave (static
+    gathers) -> batched LDPC BP (Pallas on full tiles).
+
+    The TPU answer to the reference's per-symbol OFDM state machine
+    (src/ofdm/demodulator.cpp:787-1093): the whole fixed 4-CW data frame
+    (streaming_encoder.cpp encodeFixedFrame) of every channel is one
+    compiled program.  cfg: wave.ofdm.OFDMConfig.
+    """
+    from ria_tpu.fec.interleave import channel_perm, frame_perm
+    from ria_tpu.wave.ofdm import demodulate_presynced, schmidl_cox_search
+
+    num_bits = 4 * LDPC_BITS
+    S = cfg.num_symbols_for_bits(num_bits)
+    need = (2 + S) * cfg.symbol_samples
+    decoder = _pick_decoder(rate, min_sum_factor, batch_hint * 4)
+
+    # Static deinterleave gathers (inverse of apply_perm's scatter form):
+    # frame deinterleave = x[..., frame_perm()]; channel deinterleave (within
+    # each 648-bit codeword) = x[..., channel_perm(ci_bits)].
+    gather_idx = frame_perm()
+    ci_gather = channel_perm(ci_bits) if ci_bits else None
+
+    def rx(audio: jnp.ndarray) -> OFDMRxBatchResult:
+        B = audio.shape[0]
+        sync = schmidl_cox_search(audio, cfg)
+        start = jnp.clip(jnp.where(sync.detected, sync.lts_start, 0), 0,
+                         max(window_samples - need, 0))
+
+        frames = jax.vmap(
+            lambda a, s: jax.lax.dynamic_slice(a, (s,), (need,)))(audio, start)
+        demod = demodulate_presynced(frames, sync.cfo_hz, cfg, S, 2)
+
+        soft = demod.soft_bits[..., :num_bits]
+        soft = soft[..., jnp.asarray(gather_idx)]            # frame deint
+        cw_soft = soft.reshape(B, 4, LDPC_BITS)
+        if ci_gather is not None:
+            cw_soft = cw_soft[..., jnp.asarray(ci_gather)]   # channel deint
+        dec = decoder(cw_soft.reshape(B * 4, LDPC_BITS))
+        k = dec.info_bits.shape[-1]
+        return OFDMRxBatchResult(
+            detected=sync.detected,
+            lts_start=sync.lts_start,
+            cfo_hz=sync.cfo_hz,
+            cw_success=dec.success.reshape(B, 4) & sync.detected[:, None],
+            info_bits=dec.info_bits.reshape(B, 4, k),
+            iterations=dec.iterations.reshape(B, 4),
+            snr_db=demod.snr_db,
+        )
+
+    return jax.jit(rx)
+
+
 @functools.lru_cache(maxsize=None)
 def make_tx_pipeline(cfg: MCDPSKConfig, num_codewords: int):
     """Build a jitted batch TX: coded bits [B, NCW*648] -> audio [B, samples].
