@@ -48,6 +48,8 @@ class StationStats:
     decode_failures: int = 0
     pings_rx: int = 0
     sync_skips: int = 0
+    bursts_tx: int = 0                # burst groups transmitted
+    bursts_rx: int = 0                # burst groups received (any frame ok)
     overflow_drops: int = 0           # samples dropped at the buffer cap
     decode_time_ms_avg: float = 0.0   # EMA of host decode wall time
     sync_recoveries: dict = field(default_factory=dict)  # {offset: rescues}
@@ -79,6 +81,10 @@ class Station:
         self._spread4_wf = None  # lazy 4x-spread handshake waveform
 
         self.tx_queue: list[np.ndarray] = []
+        # Burst-interleave TX buffer: data frames held until a full group is
+        # collected (reference Connection burst TX buffering); leftovers are
+        # flushed as normal light frames from tick().
+        self._burst_buf: list[bytes] = []
         # ModemEngine::postProcessTx parity (modem_engine.hpp:356).  The
         # band FIR is OFF by default like the reference's FilterConfig
         # (modem_types.hpp:105-111, "radio's SSB filter sufficient") — a
@@ -188,10 +194,43 @@ class Station:
                 wf, light = self.handshake_wf, False
         else:
             wf, light = self.data_wf, True
+            from ria_tpu.wave.api import OFDMChirpWaveform
+
+            link = self.conn.link
+            if (link.burst_group >= 2 and isinstance(wf, OFDMChirpWaveform)
+                    and len(frame_bytes) >= 3 and 0x30 <= frame_bytes[2] <= 0x33):
+                # Collect data frames into a burst group; a full group rides
+                # ONE light preamble with burst-interleaved coded bytes.
+                self._burst_buf.append(frame_bytes)
+                if len(self._burst_buf) >= link.burst_group:
+                    self._flush_burst()
+                return
         samples = np.asarray(wf.tx_frame(frame_bytes, light=light), np.float32)
         self._enqueue_tx(samples)
         self.conn.notify_tx_air_ms(frame_bytes, len(samples) / 48.0)
         self.stats.frames_tx += 1
+
+    def _flush_burst(self):
+        """TX the buffered burst group (or leftovers as single frames)."""
+        frames, self._burst_buf = self._burst_buf, []
+        if not frames:
+            return
+        group = self.conn.link.burst_group
+        if len(frames) == group:
+            samples = np.asarray(self.data_wf.tx_burst(frames), np.float32)
+            self._enqueue_tx(samples)
+            air_ms = len(samples) / 48.0
+            for fb in frames:
+                # every frame in the burst completes when the burst does
+                self.conn.notify_tx_air_ms(fb, air_ms)
+            self.stats.frames_tx += len(frames)
+            self.stats.bursts_tx += 1
+            return
+        for fb in frames:  # partial group: normal light frames
+            samples = np.asarray(self.data_wf.tx_frame(fb, light=True), np.float32)
+            self._enqueue_tx(samples)
+            self.conn.notify_tx_air_ms(fb, len(samples) / 48.0)
+            self.stats.frames_tx += 1
 
     def _on_mode_changed(self, link: LinkMode):
         self._respond_mfsk = False
@@ -384,6 +423,48 @@ class Station:
         sync, wf, light = pend["sync"], pend["wf"], pend["light"]
         start = sync["start"]
         n = len(self.rx_buffer)
+
+        # Burst accumulation (reference BURST_ACCUMULATING,
+        # streaming_decoder.cpp:3065): a 3-LTS light preamble marks a
+        # burst-interleaved group of fixed frames under one preamble.
+        if (light and sync.get("kind") == "lts"
+                and sync.get("lts_repeats", 2) >= 3
+                and self.conn.link.burst_group >= 2 and hasattr(wf, "rx_burst")):
+            group = self.conn.link.burst_group
+            if start + wf.burst_samples(group) > n:
+                return  # wait for the whole burst span
+            if self._noise_floor is not None:
+                wf._noise_floor = self._noise_floor
+            res = wf.rx_burst(self.rx_buffer, group, sync=sync)
+            self._consume(start + wf.burst_samples(group))
+            if res is None:
+                self.stats.decode_failures += 1
+                return
+            frames, snr = res
+            nf = getattr(wf, "_noise_floor", None)
+            if nf is not None and nf > 0.0:
+                self._noise_floor = nf
+            any_ok = False
+            for okf, fb in frames:
+                if okf and fb is not None:
+                    if not any_ok:
+                        self.stats.bursts_rx += 1
+                    any_ok = True
+                    self.stats.frames_rx += 1
+                    self.conn.measured_snr_db = snr
+                    self.conn.on_frame_received(fb)
+                else:
+                    self.stats.decode_failures += 1
+            if not any_ok:
+                # Possible marker false-positive (a normal frame whose first
+                # data symbol correlated like a 3rd LTS): try the
+                # single-frame decode at the same sync before giving up.
+                rx = wf._rx_at(self.rx_buffer, start, sync["cfo_hz"])
+                if rx.ok:
+                    self.stats.frames_rx += 1
+                    self.conn.measured_snr_db = rx.snr_db
+                    self.conn.on_frame_received(rx.frame_bytes)
+            return
 
         # PING/PONG discrimination on chirp-preamble signals (once).
         if (sync["kind"] == "chirp" and isinstance(wf, MCDPSKWaveform)
@@ -625,6 +706,10 @@ class Station:
         if poll:
             self.poll()
         self.conn.tick(elapsed_ms)
+        if self._burst_buf:
+            # Frames the ARQ window released this tick that did not fill a
+            # group ride normal light preambles, preserving order.
+            self._flush_burst()
         # Reciprocity-flag hygiene: clear on session end (the peer that
         # escalated is gone) and after a 60 s TTL when the handshake that set
         # them never completed — a stale flag would otherwise escalate every

@@ -54,6 +54,13 @@ class LinkMode:
     modulation: str = "DBPSK"
     rate: str = "R1_4"
     spreading: int = 1
+    # Burst-interleave group (0/1 = off): N fixed frames share one light
+    # preamble with their coded bytes spread across all N physical frames
+    # (reference BurstInterleaver, default group 4).  Negotiated at CONNECT:
+    # initiator advertises capability bit 0x80, responder confirms via
+    # feature bit 0 of the CONNECT_ACK SNR byte (the reference packs feature
+    # bits there too, frame_v2.hpp:248-285).
+    burst_group: int = 0
 
 
 @dataclass
@@ -71,6 +78,10 @@ class ConnectionConfig:
     preferred_mode: WaveformMode = WaveformMode.AUTO
     forced_modulation: str | None = None
     forced_rate: str | None = None
+    # Burst-interleave group this station is willing to run (0 = disabled).
+    # Takes effect only on OFDM_CHIRP links and only when both ends enable
+    # it; the on-air group is fixed at 4 (reference default).
+    burst_group: int = 0
 
 
 @dataclass
@@ -338,10 +349,13 @@ class Connection:
 
     def _send_connect(self):
         forced_wf = int(self.config.preferred_mode)
+        caps = self.config.mode_capabilities
+        if self.config.burst_group >= 2:
+            caps |= 0x80  # burst-interleave capable
         f = ConnectFrame(
             type=FrameType.CONNECT, seq=self._next_ctrl_seq(),
             src_callsign=self.local_call, dst_callsign=self.remote_call,
-            mode_capabilities=self.config.mode_capabilities,
+            mode_capabilities=caps,
             negotiated_mode=forced_wf,
             initial_modulation=MOD_ENUM.get(self.config.forced_modulation, 0xFF)
             if self.config.forced_modulation else 0xFF,
@@ -500,6 +514,11 @@ class Connection:
         self.is_initiator = False
         self.stats.connects_received += 1
         link = self._negotiate(req)
+        feature_bits = 0
+        if (self.config.burst_group >= 2 and (req.mode_capabilities & 0x80)
+                and link.waveform == WaveformMode.OFDM_CHIRP):
+            link.burst_group = 4
+            feature_bits |= 0x01
         ack = ConnectFrame(
             type=FrameType.CONNECT_ACK, seq=self._next_ctrl_seq(),
             src_callsign=self.local_call, dst_callsign=self.remote_call,
@@ -507,7 +526,7 @@ class Connection:
             negotiated_mode=int(link.waveform),
             initial_modulation=MOD_ENUM[link.modulation],
             initial_code_rate=RATE_ENUM[link.rate],
-            measured_snr=encode_snr(self.measured_snr_db) & ~0x03)
+            measured_snr=(encode_snr(self.measured_snr_db) & ~0x03) | feature_bits)
         self._connect_ack_frame = ack.serialize()
         self._tx(self._connect_ack_frame, handshake=True)
         self._enter_connected(link)
@@ -520,6 +539,9 @@ class Connection:
             if ack.negotiated_mode != 0xFF else WaveformMode.MC_DPSK,
             modulation=MOD_NAME.get(ack.initial_modulation, "DBPSK"),
             rate=RATE_NAME.get(ack.initial_code_rate, "R1_4"))
+        if ((ack.measured_snr & 0x01) and self.config.burst_group >= 2
+                and link.waveform == WaveformMode.OFDM_CHIRP):
+            link.burst_group = 4
         if link.waveform == WaveformMode.MC_DPSK:
             _, _, link.spreading = recommend_data_mode(
                 decode_snr(ack.measured_snr & ~0x03), link.waveform)
@@ -532,9 +554,12 @@ class Connection:
         link = LinkMode(waveform=self.link.waveform,
                         modulation=MOD_NAME.get(p[0], self.link.modulation),
                         rate=RATE_NAME.get(p[1], self.link.rate),
-                        spreading=self.link.spreading)
+                        spreading=self.link.spreading,
+                        burst_group=self.link.burst_group)
         if p[5] & 0x80:
             link.waveform = WaveformMode(p[5] & 0x7F)
+        if link.waveform != WaveformMode.OFDM_CHIRP:
+            link.burst_group = 0
         if link.waveform == WaveformMode.MC_DPSK:
             # Spreading follows the peer's reported SNR (reference
             # modem_mode.cpp:93-128 derives MC-DPSK DATA spreading from the
@@ -563,9 +588,12 @@ class Connection:
             _, _, spreading = recommend_data_mode(
                 decode_snr(encode_snr(self.measured_snr_db)),
                 WaveformMode.MC_DPSK)
-        self.link = LinkMode(waveform=waveform or self.link.waveform,
+        new_wf = waveform or self.link.waveform
+        self.link = LinkMode(waveform=new_wf,
                              modulation=modulation, rate=rate,
-                             spreading=spreading)
+                             spreading=spreading,
+                             burst_group=self.link.burst_group
+                             if new_wf == WaveformMode.OFDM_CHIRP else 0)
         if self.on_mode_changed:
             self.on_mode_changed(self.link)
         return True

@@ -397,13 +397,14 @@ class _OFDMWaveformBase:
         return self.preamble_samples() + (2 + S) * cfg.symbol_samples
 
     # -------------------------------------------------------------- RX core
-    def _demod(self, audio, lts_start, cfo, cfg, num_bits):
+    def _demod(self, audio, lts_start, cfo, cfg, num_bits, training: int = 2):
         S = cfg.num_symbols_for_bits(num_bits)
-        need = (2 + S) * cfg.symbol_samples
+        need = (training + S) * cfg.symbol_samples
         frame = np.zeros(need, np.float32)
         avail = np.asarray(audio[lts_start:lts_start + need], np.float32)
         frame[: len(avail)] = avail
-        res = ofdm.demodulate_presynced(jnp.asarray(frame), jnp.float32(cfo), cfg, S, 2)
+        res = ofdm.demodulate_presynced(jnp.asarray(frame), jnp.float32(cfo),
+                                        cfg, S, training)
         return np.asarray(res.soft_bits)[:num_bits], res
 
     def _spectral_snr(self, audio, lts_start, cfg, num_bits) -> float:
@@ -529,26 +530,52 @@ class OFDMChirpWaveform(_OFDMWaveformBase):
 
     mode = WaveformMode.OFDM_CHIRP
 
+    BURST_TRAINING = 3  # LTS repeats marking a burst (see LTSSyncResult.repeats)
+
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
         self.chirp_cfg = chirp_sync.ChirpConfig()
 
     def tx_burst(self, frames: list[bytes], tx_cfo_hz: float = 0.0) -> np.ndarray:
-        bits = _burst_tx_bits(frames, self.rate, self._ci_bits)
-        return ofdm.tx_frame(bits, self.cfg, preamble="lts", training_count=2,
+        """One light preamble (3 LTS = burst marker) carrying len(frames)
+        burst-interleaved fixed frames (reference encodeBurstLight,
+        streaming_encoder.cpp:302).
+
+        Bursts skip the per-CW channel interleave on purpose: losing one
+        whole physical frame erases a contiguous byte run of every logical
+        frame, and the channel perm turns that run into an arithmetic-
+        progression comb inside each codeword that sits on the LDPC code's
+        stopping sets (measured: 0-2/4 logical frames survive with the perm,
+        4/4 without).  The burst+frame interleaves already spread each CW
+        across the full group's symbols, providing the time/frequency
+        diversity the channel perm exists for."""
+        bits = _burst_tx_bits(frames, self.rate, None)
+        return ofdm.tx_frame(bits, self.cfg, preamble="lts",
+                             training_count=self.BURST_TRAINING,
                              tx_cfo_hz=tx_cfo_hz)
 
-    def rx_burst(self, audio: np.ndarray, group: int):
-        """Returns list[RxFrame-lite]: (ok, frame_bytes) per logical frame."""
-        sync = self.detect_sync(audio, light=True)
+    def burst_samples(self, group: int) -> int:
+        """Samples from the sync point (first LTS) to burst end."""
+        S = self.cfg.num_symbols_for_bits(group * 4 * LDPC_BITS)
+        return (self.BURST_TRAINING + S) * self.cfg.symbol_samples
+
+    def rx_burst(self, audio: np.ndarray, group: int, sync: dict | None = None):
+        """Returns (list[(ok, frame_bytes)], snr_db) per logical frame, or
+        None when no sync."""
+        if sync is None:
+            sync = self.detect_sync(audio, light=True)
         if sync is None:
             return None
         num_bits = group * 4 * LDPC_BITS
-        soft, res = self._demod(audio, sync["start"], sync["cfo_hz"], self.cfg, num_bits)
+        soft, res = self._demod(audio, sync["start"], sync["cfo_hz"], self.cfg,
+                                num_bits, training=self.BURST_TRAINING)
         out = []
-        for oks, fb in _burst_rx_decode(soft, group, self.rate, self._ci_bits):
+        for oks, fb in _burst_rx_decode(soft, group, self.rate, None):
             out.append((fb is not None and bool(np.asarray(oks).all()), fb))
-        return out
+        self._pre_start = sync["start"]
+        snr = _tracked_snr(self, audio, sync["start"], self.burst_samples(group),
+                           sync["start"])
+        return out, snr
 
     def preamble_samples(self) -> int:
         return self.chirp_cfg.total_samples
@@ -577,7 +604,8 @@ class OFDMChirpWaveform(_OFDMWaveformBase):
             if not bool(res.detected):
                 return None
             return {"start": int(res.lts_start), "cfo_hz": float(res.cfo_hz),
-                    "corr": float(res.corr), "kind": "lts"}
+                    "corr": float(res.corr), "kind": "lts",
+                    "lts_repeats": int(res.repeats)}
         res = chirp_sync.detect_dual_chirp(x, self.chirp_cfg)
         if not bool(res.detected):
             return None

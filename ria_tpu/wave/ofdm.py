@@ -436,6 +436,13 @@ class LTSSyncResult(NamedTuple):
     lts_start: jnp.ndarray
     corr: jnp.ndarray
     cfo_hz: jnp.ndarray = jnp.float32(0.0)
+    # Number of LTS repeats at the sync point (2 = normal frame, 3 = burst
+    # marker).  The reference marks burst-interleaved frames with a NEGATED
+    # LTS (waveform_interface.hpp:164-166); magnitude correlation cannot
+    # carry a sign, so this build marks bursts with a third LTS repeat —
+    # equally cheap to detect (one extra correlation lookup) and robust
+    # under CFO.
+    repeats: jnp.ndarray = jnp.int32(2)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "threshold"))
@@ -478,13 +485,33 @@ def lts_search(samples: jnp.ndarray, cfg: OFDMConfig, threshold: float = 0.5) ->
     e = (cs[..., L:] - cs[..., :-L])[..., : xc.shape[-1]]
     corr = jnp.abs(xc) / jnp.sqrt(jnp.maximum(e * ref_energy, 1e-12))
 
-    pos = jnp.argmax(corr, axis=-1).astype(jnp.int32)
+    # EARLIEST detection above threshold, not the global argmax: several
+    # back-to-back light frames can sit in one search window (a selective-
+    # repeat window of 4 queues contiguously), and taking the strongest LTS
+    # would silently skip the frames before it (the reference's sequential
+    # correlation scan stops at the first hit, ofdm_sync.cpp:386-479).
+    # argmax of the boolean mask returns the FIRST position above threshold;
+    # a local argmax over the following symbol period then centers on that
+    # preamble's true peak.
+    above = corr > threshold
+    first = jnp.argmax(above, axis=-1).astype(jnp.int32)
+    local = jnp.minimum(first[..., None] + jnp.arange(sym, dtype=jnp.int32),
+                        corr.shape[-1] - 1)
+    lvals = jnp.take_along_axis(corr, local, -1)
+    pos = jnp.take_along_axis(
+        local, jnp.argmax(lvals, axis=-1)[..., None].astype(jnp.int32), -1)[..., 0]
+    has_any = jnp.any(above, axis=-1)
+    pos = jnp.where(has_any, pos, jnp.argmax(corr, axis=-1).astype(jnp.int32))
     val = jnp.take_along_axis(corr, pos[..., None], -1)[..., 0]
-    prev_pos = jnp.maximum(pos - sym, 0)
-    prev_val = jnp.take_along_axis(corr, prev_pos[..., None], -1)[..., 0]
-    take_prev = (pos >= sym) & (prev_val >= val * 0.92)
-    pos = jnp.where(take_prev, prev_pos, pos)
-    val = jnp.where(take_prev, prev_val, val)
+    # Prefer the earliest repeat (92% rule), applied twice so a 3-repeat
+    # burst preamble whose argmax lands on repeat 3 still walks back to
+    # repeat 1.
+    for _ in range(2):
+        prev_pos = jnp.maximum(pos - sym, 0)
+        prev_val = jnp.take_along_axis(corr, prev_pos[..., None], -1)[..., 0]
+        take_prev = (pos >= sym) & (prev_val >= val * 0.92)
+        pos = jnp.where(take_prev, prev_pos, pos)
+        val = jnp.where(take_prev, prev_val, val)
     det = val > threshold
     # CFO from the inter-repeat phase of the two LTS training symbols (the
     # light preamble is always LTS x2): the analytic matched-filter output
@@ -498,7 +525,11 @@ def lts_search(samples: jnp.ndarray, cfg: OFDMConfig, threshold: float = 0.5) ->
     dphi = jnp.angle(xc2 * jnp.conj(xc1))
     cfo = dphi * cfg.sample_rate / (2.0 * jnp.pi * sym)
     cfo = jnp.where(val2 >= 0.5 * val, cfo, 0.0)  # weak 2nd repeat: no estimate
-    return LTSSyncResult(det, jnp.where(det, pos, -1), val, cfo)
+    # Burst marker: a third LTS repeat (see LTSSyncResult.repeats).
+    pos3 = jnp.minimum(pos + 2 * sym, corr.shape[-1] - 1)
+    val3 = jnp.take_along_axis(corr, pos3[..., None], -1)[..., 0]
+    repeats = jnp.where(val3 >= 0.5 * val, jnp.int32(3), jnp.int32(2))
+    return LTSSyncResult(det, jnp.where(det, pos, -1), val, cfo, repeats)
 
 
 # ============================================================================

@@ -51,6 +51,11 @@ def run_session(args, seed: int) -> dict:
         cfg_a.forced_modulation = args.mod
     if args.rate != "AUTO":
         cfg_a.forced_rate = args.rate
+    if getattr(args, "burst", False):
+        # Burst-interleave groups of 4 on OFDM_CHIRP links (negotiated at
+        # CONNECT via capability/feature bits).
+        cfg_a.burst_group = 4
+        cfg_b.burst_group = 4
 
     sim = DualStationSim(channel, seed=seed, config_a=cfg_a, config_b=cfg_b,
                          save_signals=args.save_signals,
@@ -90,6 +95,25 @@ def run_session(args, seed: int) -> dict:
             result["messages"] += 1
         else:
             break
+
+    if getattr(args, "bulk", 0):
+        # Bulk throughput: one large message, measured in VIRTUAL link time
+        # from send to delivery (payload bits / air seconds).
+        data = (bytes(range(256)) * (args.bulk // 256 + 1))[: args.bulk]
+        t_start = sim.ticks
+        sim.alpha.conn.send_message(data)
+        if sim.run_until(lambda: got_b and got_b[-1] == data,
+                         max_ticks=sim.ticks + 3000):
+            secs = (sim.ticks - t_start) * sim.block_ms / 1000.0
+            result["bulk_bps"] = len(data) * 8 / max(secs, 1e-9)
+            result["bursts_tx"] = sim.alpha.stats.bursts_tx
+            print(f"  seed {seed}: bulk {args.bulk} B in {secs:.1f}s virtual = "
+                  f"{result['bulk_bps']:.0f} bps"
+                  f" (bursts_tx={sim.alpha.stats.bursts_tx},"
+                  f" bursts_rx={sim.bravo.stats.bursts_rx})")
+        else:
+            result["bulk_bps"] = 0.0
+            print(f"  seed {seed}: bulk transfer FAILED")
 
     if args.file:
         from ria_tpu.protocol.engine import ProtocolEngine  # noqa: F401 (doc)
@@ -157,6 +181,10 @@ def main(argv=None) -> int:
                     help="inject a fixed carrier frequency offset (Hz)")
     ap.add_argument("--carriers", type=int, default=10,
                     help="MC-DPSK carrier count on both stations (3-20)")
+    ap.add_argument("--burst", action="store_true",
+                    help="negotiate burst-interleave groups of 4 (OFDM links)")
+    ap.add_argument("--bulk", type=int, default=0,
+                    help="send one N-byte bulk message and report virtual-time bps")
     ap.add_argument("--no-chase", action="store_true",
                     help="disable HARQ chase combining")
     ap.add_argument("--feed-chunk-ms", type=float, default=None,
