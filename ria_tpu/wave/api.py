@@ -65,9 +65,19 @@ def _tracked_snr(obj, audio: np.ndarray, start: int, length: int,
     energy-gate noise tracker, ofdm_sync.cpp:20-47).  Without the memory, a
     frame whose gap was already consumed falls back to the out-of-band
     floor, which reads near-zero on any bandlimited channel and clips the
-    estimate at +50 dB."""
+    estimate at +50 dB.
+
+    The signal window spans the WHOLE on-air frame [pre, start+length) —
+    acquisition preamble included — because the selection tables' SNR
+    convention (inherited from the reference's simulator feed,
+    hf_channel.hpp:125-128: noise sized from whole-frame rms) counts the
+    preamble's power.  Measuring the body alone read a constant ~1.7 dB
+    low on MC-DPSK chirp frames (the chirp is louder than the body) and
+    under-negotiated modes one rung down the ladder — e.g. MC-DPSK DQPSK
+    at a true 12 dB where the reference engages OFDM."""
+    begin = int(np.clip(pre, 0, start))
     ref = _noise_ref(audio, pre)
-    snr, floor = spectral_snr_db(np.asarray(audio[start:start + length], np.float32),
+    snr, floor = spectral_snr_db(np.asarray(audio[begin:start + length], np.float32),
                                  noise_ref=ref,
                                  noise_bin_prior=getattr(obj, "_noise_floor", None),
                                  return_floor=True)
