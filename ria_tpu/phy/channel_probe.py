@@ -137,3 +137,112 @@ def estimate_channel(h_per_symbol: np.ndarray, carrier_spacing_hz: float,
     snr_db = 10.0 * np.log10(max(sig / max(noise_var, 1e-12), 1e-6)) if noise_var > 0 else 30.0
     return ChannelEstimate(snr_db=snr_db, delay_spread_ms=delay_ms,
                            doppler_spread_hz=float(fd))
+
+
+def estimate_mc_dpsk(zsym: np.ndarray, cfg, snr_db: float = 30.0) -> ChannelEstimate:
+    """Channel characterization from the MC-DPSK handshake frame itself.
+
+    The reference's AdaptiveModem characterizes the channel from preamble
+    observations before routing OFDM vs OTFS (adaptive_modem.hpp:25-230);
+    here every decoded handshake frame IS the probe: ``zsym`` [S, C] are
+    the raw mix-integrated carrier samples (training + reference + data)
+    from wave.mc_dpsk.demodulate.
+
+    - **Delay spread** (two-path separation, the Watterson model's
+      delay_spread_ms parameter): a two-tap channel's power response is
+      |H(f)|^2 = g1^2 + g2^2 + 2 g1 g2 cos(2 pi f d) — a frequency ripple
+      whose period is exactly 1/d, INVARIANT to the sync lock point (an
+      absolute timing offset rotates H's phase but not |H|).  All MC-DPSK
+      constellations are unit-modulus, so mean_s |zsym[s, c]|^2 samples
+      |H|^2 on the carrier grid using every symbol of the frame; the
+      ripple frequency is read off a zero-padded FFT peak with parabolic
+      interpolation.  Carrier spacing ~222 Hz gives an unambiguous range
+      of 2.25 ms — beyond it the reading aliases, but every reading
+      >= 1.5 ms classifies Poor regardless, so the class is still right.
+    - **Doppler spread**: |zsym[s, c]| also traces the Rayleigh tap
+      envelopes over time.  For the AR(1) taps the envelope
+      autocovariance decays as exp(-4 pi fd k tau) (envelope corr ~=
+      |rho|^2, rho(tau) = exp(-2 pi fd tau)).  Lag >= 1 covariances are
+      noise-free in expectation (disjoint integration windows, iid
+      noise), so fd comes from ratios of BAND-AVERAGED covariances —
+      slow bands (lags 2-6 vs 18-30) resolve 0.1 vs 0.5 Hz across a
+      ~0.8 s frame, and a fast band pair (2-3 vs 5-7) catches flutter
+      rates whose covariance dies before the slow band.  Band averaging
+      is what keeps a 0.1 Hz channel from reading as 1-2 Hz: individual
+      lag covariances at these frame lengths are noise-dominated, their
+      log-fit slope is garbage.
+
+    Gates return 0.0 (AWGN reading) when the ripple or the envelope
+    variance fall below the estimator's own noise floor.
+    """
+    z = np.asarray(zsym)
+    C = cfg.num_carriers
+    freqs = np.asarray(cfg.carrier_freqs)
+    spacing = float(freqs[1] - freqs[0]) if C > 1 else 1.0
+    tau = cfg.samples_per_symbol / cfg.sample_rate
+
+    m = np.abs(z)                                          # [S, C]
+    # Trailing-silence guard: drop symbols far below the frame's level.
+    live = m.sum(axis=1) > 0.2 * np.median(m.sum(axis=1))
+    m = m[live]
+    S = m.shape[0]
+
+    # ------------------------------------------------ delay (|H|^2 ripple)
+    P = np.mean(m * m, axis=0)                             # [C] ~ |H(f_c)|^2
+    Pd = P - P.mean()
+    nfft = 64 * C
+    spec = np.abs(np.fft.rfft(Pd, nfft))
+    half = nfft // 2
+    b = int(np.argmax(spec[1:half])) + 1
+    y0, y1, y2 = spec[b - 1], spec[b], spec[min(b + 1, half)]
+    denom = y0 - 2 * y1 + y2
+    frac = 0.5 * (y0 - y2) / denom if abs(denom) > 1e-12 else 0.0
+    d_s = (b + float(np.clip(frac, -0.5, 0.5))) / (nfft * spacing)
+    # Significance: ripple amplitude (~2 g1 g2) vs the mean power and vs
+    # the residual floor of the demeaned ripple spectrum.
+    ripple = spec[b] * 2.0 * nfft / C / 2.0                # peak-to-mean est
+    floor = float(np.median(spec[1:half]))
+    delay_ms = d_s * 1000.0
+    if (ripple < 0.25 * max(P.mean(), 1e-12) or spec[b] < 3.0 * floor
+            or delay_ms < 0.15):
+        delay_ms = 0.0
+
+    # -------------------------------------------------- doppler (variogram)
+    # Structure function V[k] = E (m[s+k]-m[s])^2 = 2 sigma_n^2
+    # + 2 var_env (1 - e^{-lambda k}), lambda = 4 pi fd tau.  V is immune
+    # to the frame mean (no demeaning-ramp bias, the failure mode of
+    # sample autocovariance on sub-coherence-time frames) and iid noise
+    # only adds a constant offset, absorbed by the fit's A term.  Fit
+    # V[k] ~= A - B e^{-lambda k} by grid search over lambda with
+    # closed-form least squares for (A, B).
+    fd = 0.0
+    if S >= 16:
+        kmax = min(32, S - 4)
+        ks = np.arange(1, kmax + 1, dtype=np.float64)
+        V = np.array([np.mean((m[k:] - m[:-k]) ** 2) for k in range(1, kmax + 1)])
+        best = (np.inf, 0.0, 0.0, 0.0)
+        for lam in np.geomspace(3e-3, 4.0, 48):
+            e = np.exp(-lam * ks)
+            # LS for V ~ A - B e  (2-param linear fit).
+            em, vm = e.mean(), V.mean()
+            den = np.mean((e - em) ** 2)
+            Bc = -float(np.sum((e - em) * (V - vm)) / max(den * kmax, 1e-30))
+            Ac = vm + Bc * em
+            err = float(np.mean((Ac - Bc * e - V) ** 2))
+            if err < best[0]:
+                best = (err, lam, Ac, Bc)
+        _, lam, A, B = best
+        mean_pow = float(np.mean(m)) ** 2
+        # Fading significance: judge the exponential by the variogram rise
+        # it actually expresses across the observed lags, B (e^-lam -
+        # e^-lam*kmax) — raw B explodes when lam is large and the curve is
+        # flat (a one-bin dip at lag 1 on pure noise fits lam=max with
+        # B >> A but a negligible expressed rise).
+        rise = B * (np.exp(-lam) - np.exp(-lam * kmax))
+        if rise > 0.15 * max(float(V.mean()), 1e-12) and rise > 0.004 * mean_pow:
+            fd = lam / (4.0 * np.pi * tau)
+    if fd < 0.04:
+        fd = 0.0
+
+    return ChannelEstimate(snr_db=snr_db, delay_spread_ms=float(delay_ms),
+                           doppler_spread_hz=float(fd))

@@ -45,6 +45,9 @@ class RxFrame:
     fading_index: float = 0.0
     cfo_hz: float = 0.0
     start_sample: int = -1
+    # Handshake channel probe (MC-DPSK frames only; -1 = not measured).
+    delay_spread_ms: float = -1.0
+    doppler_spread_hz: float = -1.0
 
 
 class MCDPSKModem:

@@ -52,6 +52,7 @@ class StationStats:
     bursts_rx: int = 0                # burst groups received (any frame ok)
     overflow_drops: int = 0           # samples dropped at the buffer cap
     decode_time_ms_avg: float = 0.0   # EMA of host decode wall time
+    config_mismatches: int = 0        # TX profile drift caught + healed
     sync_recoveries: dict = field(default_factory=dict)  # {offset: rescues}
 
 
@@ -193,6 +194,7 @@ class Station:
             else:
                 wf, light = self.handshake_wf, False
         else:
+            self._verify_config_match()
             wf, light = self.data_wf, True
             from ria_tpu.wave.api import OFDMChirpWaveform
 
@@ -209,6 +211,35 @@ class Station:
         self._enqueue_tx(samples)
         self.conn.notify_tx_air_ms(frame_bytes, len(samples) / 48.0)
         self.stats.frames_tx += 1
+
+    def _verify_config_match(self):
+        """TX/RX config-divergence guard (reference
+        StreamingEncoder::verifyConfigMatch, streaming_encoder.cpp:559).
+
+        The negotiated LinkMode is the single source of truth; data_wf can
+        drift from it through live host-interface mutation (WAVEFORM /
+        MODULATION / CODERATE commands) or any future direct configure()
+        call.  A drifted profile fails silently as decode losses at the
+        peer, so before every in-session data TX the profile is compared
+        and — unlike the reference, which only asserts — healed by
+        rebuilding the waveform from the link, with the event counted in
+        stats.config_mismatches and logged."""
+        link = self.conn.link
+        wf = self.data_wf
+        spreading = getattr(getattr(wf, "cfg", None), "spreading", 1)
+        if (wf.mode == link.waveform and wf.modulation == link.modulation
+                and wf.rate == link.rate
+                and (link.waveform != WaveformMode.MC_DPSK
+                     or spreading == link.spreading)):
+            return
+        self.stats.config_mismatches += 1
+        from ria_tpu.utils.logging import get_logger
+
+        get_logger("MODEM").error(
+            f"TX config drift: waveform {wf.mode.name}/{wf.modulation}/"
+            f"{wf.rate}/s{spreading} != negotiated {link.waveform.name}/"
+            f"{link.modulation}/{link.rate}/s{link.spreading} - rebuilding")
+        self._on_mode_changed(link)
 
     def _flush_burst(self):
         """TX the buffered burst group (or leftovers as single frames)."""
@@ -620,6 +651,9 @@ class Station:
             self.stats.frames_rx += 1
             self.conn.measured_snr_db = rx.snr_db
             self.conn.measured_fading = rx.fading_index
+            if getattr(rx, "delay_spread_ms", -1.0) >= 0.0:
+                self.conn.measured_delay_ms = rx.delay_spread_ms
+                self.conn.measured_doppler_hz = rx.doppler_spread_hz
             self.conn.on_frame_received(rx.frame_bytes)
             self._feed_link_adapter(rx)
             return

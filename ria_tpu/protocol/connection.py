@@ -31,7 +31,8 @@ from ria_tpu.phy.frame_v2 import (
 )
 from ria_tpu.protocol.arq import ARQConfig, ARQMode, create_arq
 from ria_tpu.wave.selection import (
-    cap_initial_ofdm_rate, recommend_data_mode, recommend_waveform_and_rate,
+    cap_initial_ofdm_rate, recommend_data_mode, recommend_otfs_mode,
+    recommend_waveform_and_rate,
 )
 
 RATE_NAME = {v: k for k, v in RATE_ENUM.items()}
@@ -108,6 +109,10 @@ class Connection:
         # Channel quality measured by the modem layer on handshake RX.
         self.measured_snr_db = 10.0
         self.measured_fading = 0.0
+        # Handshake channel probe (phy.channel_probe.estimate_mc_dpsk):
+        # -1 = not measured this session.
+        self.measured_delay_ms = -1.0
+        self.measured_doppler_hz = -1.0
         # Last CONNECT_ACK sent (responder): re-sent on duplicate CONNECT.
         self._connect_ack_frame: bytes | None = None
 
@@ -373,11 +378,50 @@ class Connection:
             wf, mod, rate, spread = rec.waveform, rec.modulation, rec.rate, rec.spreading
             if wf in (WaveformMode.OFDM_CHIRP, WaveformMode.OFDM_COX):
                 rate = cap_initial_ofdm_rate(snr, fading, rate)
+            otfs = self._route_otfs(req, wf, snr)
+            if otfs is not None:
+                wf, (mod, rate), spread = WaveformMode.OTFS_EQ, otfs, 1
         if req.initial_modulation != 0xFF:
             mod = MOD_NAME.get(req.initial_modulation, mod)
         if req.initial_code_rate != 0xFF:
             rate = RATE_NAME.get(req.initial_code_rate, rate)
         return LinkMode(waveform=wf, modulation=mod, rate=rate, spreading=spread)
+
+    def _route_otfs(self, req: ConnectFrame, table_wf: WaveformMode,
+                    snr: float) -> tuple[str, str] | None:
+        """OFDM<->OTFS arbitration from the handshake channel probe.
+
+        Reference AdaptiveModem (adaptive_modem.hpp:216-224) routes by the
+        ITU-R class of the characterized channel: Good -> OTFS_EQ,
+        Moderate -> OFDM, Poor -> OTFS (our re-measured table keeps the
+        equalized mode for Poor too, channel_probe.recommended_mode).
+        Deviations, both measurement-driven:
+        - an AWGN-clean probe (no resolvable multipath or Doppler) stays
+          on OFDM — the class table calls delay<0.75/doppler<0.3 "Good",
+          but OTFS QPSK R1/2 (~1.7 kbps gross) would forfeit the QAM
+          ladder's 4.8-7.2 kbps on a channel OFDM decodes at 10/10;
+        - a Good-class probe at snr >= 22 dB keeps OFDM for the same
+          throughput reason (QAM16 R2/3 at 96% per the reference's own
+          preset notes beats OTFS QPSK R1/2 on delivered bps).
+        Requires both ends OTFS_EQ-capable (capability bit 1<<OTFS_EQ).
+        """
+        if table_wf != WaveformMode.OFDM_CHIRP:
+            return None
+        cap = 1 << int(WaveformMode.OTFS_EQ)
+        if not (req.mode_capabilities & cap) or not (self.config.mode_capabilities & cap):
+            return None
+        if self.measured_delay_ms < 0.0:
+            return None  # no probe this session
+        from ria_tpu.phy.channel_probe import ChannelEstimate
+
+        est = ChannelEstimate(snr_db=snr, delay_spread_ms=self.measured_delay_ms,
+                              doppler_spread_hz=self.measured_doppler_hz)
+        dispersive = est.delay_spread_ms >= 0.25 or est.doppler_spread_hz >= 0.05
+        if not dispersive or est.recommended_mode() != "OTFS_EQ":
+            return None
+        if est.is_good() and snr >= 22.0:
+            return None
+        return recommend_otfs_mode(snr)
 
     def _enter_connected(self, link: LinkMode):
         self.link = link
@@ -404,6 +448,8 @@ class Connection:
         self._disc_ack_frame = None
         self._disc_pending_ms = self._disc_ack_retx_ms = 0
         self._connect_ack_frame = None
+        self.measured_delay_ms = -1.0
+        self.measured_doppler_hz = -1.0
         self.arq.reset()
         if prev != ConnectionState.DISCONNECTED and self.on_disconnected:
             self.on_disconnected(reason)

@@ -339,10 +339,17 @@ class MCDPSKWaveform:
         pre = start - (self.zc_cfg.preamble_samples if sync.get("kind") == "zc"
                        else self.cfg.chirp.total_samples)
         snr_db = _tracked_snr(self, audio, start, body_len, pre)
+        # Handshake channel probe for OFDM<->OTFS routing (the reference's
+        # AdaptiveModem preamble characterization, adaptive_modem.hpp:25-230).
+        from ria_tpu.phy.channel_probe import estimate_mc_dpsk
+
+        probe = estimate_mc_dpsk(np.asarray(res.zsym), self.cfg, snr_db)
         return RxFrame(ok, frame_bytes, header, oks, soft,
                        snr_db=snr_db,
                        fading_index=float(res.freq_fading_index + res.temporal_fading_index),
-                       cfo_hz=cfo, start_sample=start)
+                       cfo_hz=cfo, start_sample=start,
+                       delay_spread_ms=probe.delay_spread_ms,
+                       doppler_spread_hz=probe.doppler_spread_hz)
 
 
 class _OFDMWaveformBase:

@@ -139,6 +139,10 @@ class MCDPSKDemodResult(NamedTuple):
     freq_fading_index: jnp.ndarray
     temporal_fading_index: jnp.ndarray
     snr_estimate_db: jnp.ndarray  # from phase-noise variance
+    zsym: jnp.ndarray             # [T+1+R, C] raw carrier integrals — the
+    #                               per-symbol per-carrier channel samples
+    #                               feeding handshake channel probing
+    #                               (phy.channel_probe.estimate_mc_dpsk)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_data_symbols"))
@@ -293,4 +297,5 @@ def soft_from_zsym(zsym: jnp.ndarray, cfg: MCDPSKConfig,
         freq_fading_index=freq_cv,
         temporal_fading_index=temporal,
         snr_estimate_db=snr_db,
+        zsym=zsym,
     )

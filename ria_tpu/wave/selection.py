@@ -105,6 +105,9 @@ def recommend_waveform_and_rate(snr_db: float, fading_index: float) -> WaveformR
 def recommend_data_mode(snr_db: float, waveform: WaveformMode,
                         fading_index: float = 0.0) -> tuple[str, str, int]:
     """(modulation, rate, spreading) for an established connection."""
+    if waveform in (WaveformMode.OTFS_EQ, WaveformMode.OTFS_RAW):
+        mod, rate = recommend_otfs_mode(snr_db)
+        return mod, rate, 1
     if waveform == WaveformMode.MC_DPSK:
         if snr_db < -7.0:
             return "DBPSK", "R1_4", 4
@@ -125,6 +128,13 @@ def recommend_data_mode(snr_db: float, waveform: WaveformMode,
         if snr_db >= 22.0:
             return "QAM16", "R2_3", 1
     return "DQPSK", select_ofdm_code_rate(snr_db, fading_index), 1
+
+
+def recommend_otfs_mode(snr_db: float) -> tuple[str, str]:
+    """(modulation, rate) for an OTFS_EQ link.  QPSK R1/2 is the verified
+    rung (tools/otfs_mode_sweep: Good 20/20, Moderate 15/20, Poor 12/20 at
+    20 dB); drop to R1/4 when the link is marginal."""
+    return ("QPSK", "R1_2") if snr_db >= 14.0 else ("QPSK", "R1_4")
 
 
 def recommended_pilot_spacing(modulation: str, rate: str) -> int:

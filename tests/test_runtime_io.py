@@ -105,3 +105,46 @@ def test_estimate_channel_detects_delay():
     assert est.delay_spread_ms > 0.2, est.delay_spread_ms
     flat = estimate_channel(np.ones((4, C), complex), spacing, 1120 / 48000.0)
     assert flat.delay_spread_ms < 0.1
+
+def test_estimate_mc_dpsk_classifies_presets():
+    """The handshake channel probe (OFDM<->OTFS routing input) must read
+    the Watterson presets' two-path separation off a decoded CONNECT frame:
+    the |H|^2 carrier ripple is sync-lock invariant, so the delay estimate
+    pins each ITU-R class; Doppler only needs to stay out of the >= 2 Hz
+    (Poor/Flutter) band for slow channels."""
+    import jax
+    import jax.numpy as jnp
+
+    from ria_tpu.phy.channel_probe import estimate_mc_dpsk
+    from ria_tpu.phy.frame_v2 import ConnectFrame, FrameType
+    from ria_tpu.sim import PRESETS, apply_channel
+    from ria_tpu.wave.api import MCDPSKWaveform
+
+    fb = ConnectFrame(type=FrameType.CONNECT, seq=1, src_callsign="W1AW",
+                      dst_callsign="VE3ABC").serialize()
+    wf = MCDPSKWaveform(modulation="DBPSK", rate="R1_4")
+    tx = wf.tx_frame(fb)
+
+    def probe(preset, seed):
+        ch = PRESETS[preset](16.0)
+        audio = np.concatenate([np.zeros(20000, np.float32), tx,
+                                np.zeros(4000, np.float32)])
+        out = np.asarray(apply_channel(jnp.asarray(audio),
+                                       jax.random.PRNGKey(seed), ch).samples)
+        sync = wf.detect_sync(out)
+        assert sync is not None
+        _, res = wf._demod_bits(out, sync["start"], sync["cfo_hz"], 648)
+        return estimate_mc_dpsk(np.asarray(res.zsym), wf.cfg, 16.0)
+
+    for seed in (0, 1):
+        awgn_est = probe("awgn", seed)
+        assert awgn_est.delay_spread_ms == 0.0 and awgn_est.doppler_spread_hz == 0.0
+        g = probe("good", seed)
+        assert 0.25 < g.delay_spread_ms < 0.75, g
+        m = probe("moderate", seed)
+        assert 0.75 <= m.delay_spread_ms < 1.5, m
+        p = probe("poor", seed)
+        assert p.delay_spread_ms >= 1.5, p
+        assert p.condition_name in ("Poor", "Flutter")
+        f = probe("flutter", seed)
+        assert f.doppler_spread_hz >= 2.0, f
