@@ -22,3 +22,9 @@ if "host_platform_device_count" not in xla_flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-session operating-point floors (deselect with -m 'not slow')")

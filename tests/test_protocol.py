@@ -592,3 +592,64 @@ def test_session_low_snr_fading_floor():
     sim.alpha.conn.send_message(b"low snr msg")
     assert sim.run_until(lambda: got == [b"low snr msg"],
                          max_ticks=sim.ticks + 250)
+
+def test_otfs_autonegotiated_on_poor_channel():
+    """AdaptiveModem parity (reference adaptive_modem.hpp:216-224): a
+    Poor-class channel probe measured off the handshake CONNECT routes the
+    session to equalized OTFS without any forced mode, and the session
+    delivers.  OTFS_EQ's frame success on Poor (12/20 at 20 dB,
+    tools/otfs_mode_sweep) beats OFDM DQPSK's 2/10 on the same seeds."""
+    from ria_tpu.phy.frame_v2 import WaveformMode
+    from ria_tpu.sim import poor
+
+    sim = DualStationSim(poor(18.0), seed=1)
+    got = []
+    sim.bravo.conn.on_message = lambda d: got.append(d)
+    assert sim.alpha.conn.connect("BRAVO")
+    assert sim.run_until(sim.both_connected, max_ticks=300)
+    assert sim.alpha.conn.link.waveform == WaveformMode.OTFS_EQ, sim.alpha.conn.link
+    assert sim.alpha.conn.link.modulation == "QPSK"
+    # The responder measured the CONNECT's two-path separation.
+    assert sim.bravo.conn.measured_delay_ms >= 1.5
+    payload = b"otfs auto-negotiated payload"
+    sim.alpha.conn.send_message(payload)
+    assert sim.run_until(lambda: got == [payload], max_ticks=300), \
+        f"OTFS session did not deliver ({sim.alpha.conn.link})"
+
+
+def test_awgn_keeps_ofdm_despite_goodclass_probe():
+    """An AWGN-clean probe (no resolvable multipath/Doppler) must NOT route
+    to OTFS even though delay<0.75/doppler<0.3 is nominally 'Good' — the
+    OFDM QAM ladder owns clean channels (see Connection._route_otfs)."""
+    from ria_tpu.phy.frame_v2 import WaveformMode
+
+    sim = DualStationSim(awgn(25.0), seed=1)
+    assert sim.alpha.conn.connect("BRAVO")
+    assert sim.run_until(sim.both_connected, max_ticks=300)
+    assert sim.alpha.conn.link.waveform in (WaveformMode.OFDM_CHIRP,
+                                            WaveformMode.OFDM_COX)
+    assert sim.bravo.conn.measured_delay_ms == 0.0
+
+def test_tx_config_drift_guard_heals():
+    """verifyConfigMatch parity (streaming_encoder.cpp:559): a data_wf that
+    drifts from the negotiated LinkMode (e.g. live host-interface MODULATION
+    mutation) is caught before the next in-session TX, healed by rebuilding
+    from the link, and counted — instead of failing silently as peer decode
+    losses."""
+    sim = DualStationSim(awgn(20.0), seed=5)
+    got = []
+    sim.bravo.conn.on_message = lambda d: got.append(d)
+    assert sim.alpha.conn.connect("BRAVO")
+    assert sim.run_until(sim.both_connected, max_ticks=200)
+    link = sim.alpha.conn.link
+    # Drift: mutate the TX waveform profile behind the link's back.
+    sim.alpha.data_wf.configure("QAM64", "R3_4")
+    assert sim.alpha.data_wf.rate != link.rate or \
+        sim.alpha.data_wf.modulation != link.modulation
+    payload = b"healed after drift"
+    sim.alpha.conn.send_message(payload)
+    assert sim.run_until(lambda: got == [payload], max_ticks=150), \
+        f"message lost after config drift ({sim.alpha.data_wf.modulation})"
+    assert sim.alpha.stats.config_mismatches >= 1
+    assert sim.alpha.data_wf.modulation == link.modulation
+    assert sim.alpha.data_wf.rate == link.rate

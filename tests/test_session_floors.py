@@ -1,0 +1,54 @@
+"""Session operating-point floors pinned in CI (reference acceptance
+culture, src/protocol/waveform_selection.hpp:33-48: every threshold in the
+selection tables is backed by seeded full-session runs).
+
+Each point runs a complete adaptive session — PING, CONNECT with
+measured-SNR negotiation, DATA x2, DISCONNECT — through the streaming
+Watterson channel with honest stationary noise and NO forced modes:
+
+- -11 dB AWGN: spread-4 MC-DPSK territory (chirp CFAR sync floor);
+-  -8 dB good fading: the honest-noise session floor (spread-escalation
+   CONNECT path, tools/adaptive_session_sweep.py regime notes);
+- +/-8 Hz CFO at 10 dB: the chirp dual-slope CFO estimate must keep the
+  whole negotiated chain (ZC light preambles included) locked.
+"""
+
+from __future__ import annotations
+
+import types
+
+import pytest
+
+
+def _run(snr: float, channel: str, cfo: float = 0.0, seed: int = 42) -> dict:
+    from tools.cli_simulator import run_session
+
+    args = types.SimpleNamespace(snr=snr, channel=channel, waveform="AUTO",
+                                 mod="AUTO", rate="AUTO", num_messages=2,
+                                 file=False, save_signals=None, cfo=cfo)
+    try:
+        return run_session(args, seed)
+    finally:
+        # Each point negotiates a different mode and compiles fresh
+        # pipelines; keep CPU-XLA executables from accumulating.
+        import jax
+
+        from ria_tpu.phy import pipeline as _pl
+
+        _pl.make_rx_pipeline.cache_clear()
+        _pl.make_tx_pipeline.cache_clear()
+        jax.clear_caches()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("snr,channel,cfo", [
+    (-11.0, "awgn", 0.0),
+    (-8.0, "good", 0.0),
+    (10.0, "awgn", 8.0),
+    (10.0, "awgn", -8.0),
+])
+def test_session_floor(snr, channel, cfo):
+    r = _run(snr, channel, cfo)
+    assert r["connected"], f"no connect at {snr} dB {channel} cfo={cfo}"
+    assert r["messages"] == 2, \
+        f"delivery failed at {snr} dB {channel} cfo={cfo}: {r}"
