@@ -42,14 +42,16 @@ class DecodeResult(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def make_decoder(rate: str, max_iters: int | None = None,
-                 min_sum_factor: float = MIN_SUM_FACTOR,
-                 precision: str = "f32"):
-    """Build a jitted batched decoder: llrs [B, 648] -> DecodeResult.
+def make_decoder_vf(rate: str, max_iters: int | None = None,
+                    precision: str = "f32"):
+    """Build a jitted batched decoder with PER-ROW normalization factors:
+    (llrs [B, 648], factors [B]) -> DecodeResult.
 
-    min_sum_factor: normalization factor (reference default 0.75; the OFDM
-    fixed-frame path uses 0.9375 with a factor-diversity retry ladder,
-    frame_v2.cpp decodeFixedFrame).
+    The min-sum factor is a runtime argument, not a compile-time constant,
+    so the whole retry ladder's factor diversity (frame_v2.cpp
+    decodeFixedFrame phases) shares ONE compiled program and one device
+    call — the serving-path requirement (a failed frame costs <= 2 decode
+    dispatches, not one per factor).
 
     precision: "bf16" runs the gather/scatter matmuls with bfloat16 inputs
     and fp32 accumulation (4x MXU throughput; min-sum BP is robust to
@@ -67,7 +69,7 @@ def make_decoder(rate: str, max_iters: int | None = None,
     gather_f32 = code.gather                   # [m*D, n] (parity check)
     mask = code.row_mask                       # [m, D]
 
-    def _check_update(v2c):
+    def _check_update(v2c, factors):
         """Per-check two-min + sign-product, excluding self (min-sum)."""
         sgn = jnp.where(v2c < 0, -1.0, 1.0)
         sgn = jnp.where(mask, sgn, 1.0)
@@ -79,15 +81,16 @@ def make_decoder(rate: str, max_iters: int | None = None,
         min2 = jnp.min(jnp.where(is_min, jnp.inf, absv), axis=-1, keepdims=True)
         excl_min = jnp.where(is_min, min2, min1)
         # sign excluding edge e == sign_prod * sgn_e (sgn in {-1, +1})
-        c2v = sign_prod * sgn * excl_min * min_sum_factor
+        c2v = sign_prod * sgn * excl_min * factors[:, None, None]
         return jnp.where(mask, c2v, 0.0)
 
     def _mm(a, b):
         return jnp.dot(a.astype(mm_dtype), b, preferred_element_type=jnp.float32)
 
-    def decode(llrs: jnp.ndarray) -> DecodeResult:
+    def decode(llrs: jnp.ndarray, factors: jnp.ndarray) -> DecodeResult:
         B = llrs.shape[0]
         llr_in = llrs.astype(jnp.float32)
+        factors = factors.astype(jnp.float32)
         v2c0 = _mm(llr_in, gather.T).reshape(B, m, D)
 
         def parity_ok(llr_total):
@@ -102,7 +105,7 @@ def make_decoder(rate: str, max_iters: int | None = None,
 
         def body(carry):
             v2c, llr_total, done, iters, it = carry
-            c2v = _check_update(v2c)
+            c2v = _check_update(v2c, factors)
             llr_total_new = llr_in + _mm(c2v.reshape(B, m * D), gather)
             v2c_new = _mm(llr_total_new, gather.T).reshape(B, m, D) - c2v
             v2c_new = jnp.clip(v2c_new, -LLR_CLAMP, LLR_CLAMP)
@@ -126,6 +129,58 @@ def make_decoder(rate: str, max_iters: int | None = None,
         return DecodeResult(info_bits, done, iters, llr_total)
 
     return jax.jit(decode)
+
+
+@functools.lru_cache(maxsize=None)
+def make_decoder(rate: str, max_iters: int | None = None,
+                 min_sum_factor: float = MIN_SUM_FACTOR,
+                 precision: str = "f32"):
+    """Jitted batched decoder: llrs [B, 648] -> DecodeResult.
+
+    min_sum_factor: normalization factor (reference default 0.75; the OFDM
+    fixed-frame path uses 0.9375 with a factor-diversity retry ladder,
+    frame_v2.cpp decodeFixedFrame).  Thin wrapper over make_decoder_vf —
+    every factor shares the same compiled executable.
+    """
+    vf = make_decoder_vf(rate, max_iters, precision)
+
+    def decode(llrs: jnp.ndarray) -> DecodeResult:
+        B = llrs.shape[0]
+        return vf(llrs, jnp.full((B,), min_sum_factor, jnp.float32))
+
+    return decode
+
+
+def decode_batch(llrs: np.ndarray, factors: np.ndarray, rate: str,
+                 max_iters: int | None = None) -> DecodeResult:
+    """Serving-path decode dispatch with per-row min-sum factors.
+
+    On a real TPU backend the batch is zero-padded to the Pallas kernel's
+    tile (all-zero LLR rows converge at iteration 1 and freeze, so padding
+    costs one tile's bandwidth, not iterations) so that session workloads
+    — 4-CW frames, control codewords, the retry ladder — run through the
+    VMEM-resident BP kernel.  Elsewhere (CPU tests, interpret-less hosts)
+    the XLA while_loop decoder serves.
+    """
+    llrs = np.ascontiguousarray(np.asarray(llrs, np.float32))
+    factors = np.asarray(factors, np.float32)
+    B = llrs.shape[0]
+    if jax.default_backend() == "tpu":
+        from ria_tpu.fec.ldpc_pallas import make_pallas_decoder
+
+        tile = 128
+        pad = (-B) % tile
+        if pad:
+            llrs = np.concatenate(
+                [llrs, np.zeros((pad, llrs.shape[1]), np.float32)])
+            factors = np.concatenate(
+                [factors, np.full(pad, MIN_SUM_FACTOR, np.float32)])
+        r = make_pallas_decoder(rate, tile=tile, max_iters=max_iters)(
+            jnp.asarray(llrs), jnp.asarray(factors))
+        return DecodeResult(r.info_bits[:B], r.success[:B],
+                            r.iterations[:B], r.llr_total[:B])
+    return make_decoder_vf(rate, max_iters)(jnp.asarray(llrs),
+                                            jnp.asarray(factors))
 
 
 @functools.lru_cache(maxsize=None)
@@ -172,18 +227,20 @@ def decode_chunked(llrs, rate: str, chunk: int = 512, max_iters: int | None = No
 
 def decode_with_retries(llrs: np.ndarray, rate: str, max_iters: int | None = None,
                         base_factor: float = 0.9375) -> DecodeResult:
-    """Decode with the fixed-frame retry ladder, batched the TPU way.
+    """Decode with the fixed-frame retry ladder in EXACTLY <= 2 device calls.
 
     The reference retries failed codewords sequentially with min-sum factor
     diversity and Gaussian LLR perturbation (frame_v2.cpp decodeFixedFrame
-    phases 0-4).  Here every retry strategy for every still-failed codeword is
-    evaluated as ONE batched decode per factor: factor diversity on clean
-    LLRs first, then perturbed/clipped/scaled variants.
+    phases 0-4).  Here the per-row-factor decoder evaluates the ENTIRE
+    ladder — clean factor diversity first, then every perturbed/clipped/
+    scaled variant at every retry factor — for every still-failed codeword
+    as ONE batched dispatch; row order encodes the reference's retry
+    priority, and the first successful row per codeword wins.
     """
-    import jax
-
     llrs = np.asarray(llrs, np.float32)
-    result = make_decoder(rate, max_iters, base_factor)(llrs)
+    B = llrs.shape[0]
+    result = decode_batch(llrs, np.full(B, base_factor, np.float32),
+                          rate, max_iters)
     success = np.array(result.success)
     if success.all():
         return result
@@ -191,61 +248,50 @@ def decode_with_retries(llrs: np.ndarray, rate: str, max_iters: int | None = Non
     info = np.asarray(result.info_bits).copy()
     llr_total = np.asarray(result.llr_total).copy()
     iters = np.asarray(result.iterations).copy()
+    failed = ~success
+    fidx = np.where(failed)[0]
+    base = llrs[failed]
+    F = base.shape[0]
 
-    # Phase 0: factor diversity on unmodified LLRs.
+    rng = np.random.default_rng(0x5EED)
+    rows: list[np.ndarray] = []
+    facs: list[float] = []
+    # Phase 0: factor diversity on unmodified LLRs (highest priority).
     for factor in (0.875, 0.75, 0.625, 0.5):
-        failed = ~success
-        if not failed.any():
-            break
-        r = make_decoder(rate, max_iters, factor)(llrs[failed])
-        s = np.asarray(r.success)
-        idx = np.where(failed)[0][s]
-        success[idx] = True
-        info[idx] = np.asarray(r.info_bits)[s]
-        llr_total[idx] = np.asarray(r.llr_total)[s]
-        iters[idx] = np.asarray(r.iterations)[s]
+        rows.append(base)
+        facs.append(factor)
+    # Phases 1-4 condensed: perturbation ladder x factor diversity.
+    variants = ([("raw", s) for s in (0.3, 0.7, 1.0, 1.5, 2.5)]
+                + [("clip10", s) for s in (0.3, 1.5, 4.0)]
+                + [("scale", s) for s in (0.5, 3.0)])
+    for factor in (0.75, 0.625, 0.875):
+        for kind, sigma in variants:
+            v = base.copy()
+            if kind == "clip10":
+                v = np.clip(v, -10, 10)
+            elif kind == "scale":
+                v = v * 0.5
+            v = v + rng.normal(0, sigma, v.shape).astype(np.float32)
+            rows.append(v)
+            facs.append(factor)
 
-    # Phase 1-4 condensed: perturbation ladder, all variants in one batch per
-    # factor.  Variants per failed CW: clean-clipped/scaled + noisy copies.
-    if not success.all():
-        rng = np.random.default_rng(0x5EED)
-        variants = []
-        for sigma in (0.3, 0.7, 1.0, 1.5, 2.5):
-            variants.append(("raw", sigma))
-        for sigma in (0.3, 1.5, 4.0):
-            variants.append(("clip10", sigma))
-        for sigma in (0.5, 3.0):
-            variants.append(("scale", sigma))
-        for factor in (0.75, 0.625, 0.875):
-            failed = ~success
-            if not failed.any():
-                break
-            base = llrs[failed]
-            batch = []
-            for kind, sigma in variants:
-                v = base.copy()
-                if kind == "clip10":
-                    v = np.clip(v, -10, 10)
-                elif kind == "scale":
-                    v = v * 0.5
-                v = v + rng.normal(0, sigma, v.shape).astype(np.float32)
-                batch.append(v)
-            stacked = np.concatenate(batch, axis=0)  # [V*F, n]
-            r = make_decoder(rate, max_iters, factor)(stacked)
-            s = np.asarray(r.success).reshape(len(variants), -1)
-            ib = np.asarray(r.info_bits).reshape(len(variants), base.shape[0], -1)
-            lt = np.asarray(r.llr_total).reshape(len(variants), base.shape[0], -1)
-            it = np.asarray(r.iterations).reshape(len(variants), -1)
-            any_ok = s.any(axis=0)
-            first = np.argmax(s, axis=0)
-            fidx = np.where(failed)[0]
-            for j, (ok_j, v_j) in enumerate(zip(any_ok, first)):
-                if ok_j:
-                    gi = fidx[j]
-                    success[gi] = True
-                    info[gi] = ib[v_j, j]
-                    llr_total[gi] = lt[v_j, j]
-                    iters[gi] = it[v_j, j]
+    V = len(rows)
+    stacked = np.concatenate(rows, axis=0)                       # [V*F, n]
+    factors = np.repeat(np.asarray(facs, np.float32), F)
+    r = decode_batch(stacked, factors, rate, max_iters)
+    s = np.asarray(r.success).reshape(V, F)
+    ib = np.asarray(r.info_bits).reshape(V, F, -1)
+    lt = np.asarray(r.llr_total).reshape(V, F, -1)
+    it = np.asarray(r.iterations).reshape(V, F)
+    any_ok = s.any(axis=0)
+    first = np.argmax(s, axis=0)                                 # priority order
+    for j in range(F):
+        if any_ok[j]:
+            gi = fidx[j]
+            success[gi] = True
+            info[gi] = ib[first[j], j]
+            llr_total[gi] = lt[first[j], j]
+            iters[gi] = it[first[j], j]
 
     return DecodeResult(jnp.asarray(info), jnp.asarray(success),
                         jnp.asarray(iters), jnp.asarray(llr_total))
@@ -280,14 +326,17 @@ def decode_candidates(llrs: np.ndarray, rate: str, max_iters: int | None = None,
     for sigma in (0.3, 0.7, 1.2, 2.0):
         for _ in range(4):
             variants.append(llrs + rng.normal(0, sigma, llrs.shape).astype(np.float32))
-    stacked = np.concatenate(variants, axis=0)
+    stacked = np.concatenate(variants, axis=0)                # [V*B, n]
     enc = make_encoder(rate)
     cands: list[dict] = [dict() for _ in range(B)]
-    for factor in (0.9375, 0.875, 0.75, 0.625, 0.5):
-        r = make_decoder(rate, max_iters, factor)(stacked)
-        s = np.asarray(r.success)
-        if not s.any():
-            continue
+    # All five retry factors over all variants in ONE device call
+    # (per-row-factor decoder): [5*V*B, n].
+    ladder = (0.9375, 0.875, 0.75, 0.625, 0.5)
+    full = np.concatenate([stacked] * len(ladder), axis=0)
+    factors = np.repeat(np.asarray(ladder, np.float32), stacked.shape[0])
+    r = decode_batch(full, factors, rate, max_iters)
+    s = np.asarray(r.success)
+    if s.any():
         info = np.asarray(r.info_bits)[s]
         coded = np.asarray(enc(info)).astype(np.int32)
         for row, inf, cd in zip(np.where(s)[0], info, coded):

@@ -66,8 +66,8 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
     slot_mask_dm = np.ascontiguousarray(slot_mask.T)
     ones_mn = np.ones((m, n), dtype=jnp.bfloat16)    # lane-broadcast matmuls
 
-    def kernel(llr_ref, g_ref, gt_ref, mask_ref, ones_ref, out_llr_ref,
-               out_ok_ref, out_iters_ref):
+    def kernel(llr_ref, fac_ref, g_ref, gt_ref, mask_ref, ones_ref,
+               out_llr_ref, out_ok_ref, out_iters_ref):
         llr_in = llr_ref[:]                          # [T, n]
         T = llr_in.shape[0]
         masks = [mask_ref[d, :][None, :] > 0.5 for d in range(D)]  # [1, m] each
@@ -76,6 +76,12 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
             # [T, n] @ [n, m] -> [T, m] (bf16 x bf16 -> fp32 accumulate)
             return jnp.dot(x.astype(jnp.bfloat16), gt_ref[d],
                            preferred_element_type=jnp.float32)
+
+        # Per-row min-sum factor, replicated across the check lane dim:
+        # fac_ref is [T, n] row-constant; slot-0 gather (every check has
+        # degree >= 1) reads it back as row-constant [T, m].
+        fac_m = jnp.dot(fac_ref[:].astype(jnp.bfloat16), gt_ref[0],
+                        preferred_element_type=jnp.float32)
 
         def scatter_sum(msgs):
             # sum_d msgs[d] @ G[d]: [T, m] @ [m, n] -> [T, n]
@@ -107,7 +113,7 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
                 excl = jnp.where(is_min, jnp.where(ties > 1.0, min1, min2), min1)
                 sgn = jnp.where(masks[d] & (v2c[d] < 0), -1.0, 1.0)
                 out.append(jnp.where(masks[d], sign_prod * sgn * excl
-                                     * min_sum_factor, 0.0))
+                                     * fac_m, 0.0))
             return out
 
         def parity_ok(llr_total):
@@ -166,9 +172,12 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
         out_iters_ref[:] = iters_n
 
     @jax.jit
-    def decode(llrs: jnp.ndarray) -> DecodeResult:
+    def decode(llrs: jnp.ndarray, factors: jnp.ndarray | None = None) -> DecodeResult:
         B = llrs.shape[0]
         assert B % tile == 0, f"batch {B} not a multiple of tile {tile}"
+        if factors is None:
+            factors = jnp.full((B,), min_sum_factor, jnp.float32)
+        fac_n = jnp.broadcast_to(factors.astype(jnp.float32)[:, None], (B, n))
         grid = (B // tile,)
         llr_total, ok, iters = pl.pallas_call(
             kernel,
@@ -181,6 +190,7 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
             ),
             interpret=interpret,
             in_specs=[
+                pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((D, m, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((D, n, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -197,7 +207,7 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
                 jax.ShapeDtypeStruct((B, n), jnp.float32),
                 jax.ShapeDtypeStruct((B, n), jnp.float32),
             ],
-        )(llrs.astype(jnp.float32), G, GT, slot_mask_dm, ones_mn)
+        )(llrs.astype(jnp.float32), fac_n, G, GT, slot_mask_dm, ones_mn)
         info = (llr_total[:, :k] < 0).astype(jnp.uint8)
         return DecodeResult(info, ok[:, 0] > 0.5,
                             iters[:, 0].astype(jnp.int32), llr_total)
