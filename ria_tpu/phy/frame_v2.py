@@ -91,6 +91,11 @@ class WaveformMode(enum.IntEnum):
     MFSK = 0x03
     MC_DPSK = 0x04
     OFDM_CHIRP = 0x05
+    # Extension beyond the reference's wire enum (0x00-0x05): the reference
+    # ships single-carrier DPSK only as raw-PING carrier + presets
+    # (dpsk.hpp:1118), never factory-reachable; here it is a creatable
+    # waveform.  Never auto-negotiated — selection tables don't emit it.
+    DPSK = 0x06
     AUTO = 0xFF
 
 
@@ -415,9 +420,15 @@ def decode_codewords(soft_bits: np.ndarray, rate: str = "R1_4",
         perm = channel_perm(channel_interleave_bits_per_symbol)
         soft_bits = apply_perm(soft_bits, perm, inverse=True)
     codec = LDPCCodec(rate)
-    from ria_tpu.fec.ldpc import make_decoder
+    from ria_tpu.fec.ldpc import decode_batch
+    from ria_tpu.fec.ldpc_matrix import MIN_SUM_FACTOR
 
-    result = make_decoder(rate, codec.max_iters)(np.asarray(soft_bits, np.float32))
+    soft_bits = np.asarray(soft_bits, np.float32)
+    # Serving dispatch: pads to the Pallas BP kernel's tile on a real TPU
+    # so session decodes run through the flagship VMEM-resident kernel.
+    result = decode_batch(soft_bits,
+                          np.full(soft_bits.shape[0], MIN_SUM_FACTOR, np.float32),
+                          rate, codec.max_iters)
     oks = np.asarray(result.success)
     infos = np.asarray(result.info_bits)
     chunks = [bits_to_bytes(infos[i]) for i in range(len(infos))]

@@ -9,6 +9,11 @@ Frame = [type 1][seq u16 BE][len u16 BE][mod_code 1][hcrc u16 over first 6]
         [payload][payload crc16]  (CRC-16/CCITT, init 0xFFFF)
 
 New code should use the v2 protocol (ria_tpu.phy.frame_v2).
+
+RETENTION DECISION (round 2): kept, deliberately unintegrated — exactly
+mirroring the reference, whose v1 stays compiled into ultra_core but is
+reachable from no v2 code path.  Parity here means "the wire format and
+ARQ exist and are tested", not "the product routes through them".
 """
 
 from __future__ import annotations

@@ -59,11 +59,14 @@ class StationStats:
 class Station:
     def __init__(self, callsign: str, config: ConnectionConfig | None = None,
                  seed: int = 0, mc_carriers: int = 10,
-                 chase_enabled: bool = True):
+                 chase_enabled: bool = True, use_css: bool = False):
         self.callsign = callsign
         self.conn = Connection(config)
         self.conn.set_local_callsign(callsign)
         self.stats = StationStats()
+        # CSS acquisition preambles on the handshake waveform (reference
+        # --css): frame type from the chirp's cyclic shift.
+        self.use_css = use_css
 
         # Forced MC-DPSK carrier count (cli_simulator --carriers / host
         # MCDPSKCARRIERS command; reference MultiCarrierDPSKConfig).  Applies
@@ -71,7 +74,8 @@ class Station:
         # the fixed 10-carrier broadcast geometry.
         self.mc_carriers = mc_carriers
         self.handshake_wf = MCDPSKWaveform(num_carriers=mc_carriers,
-                                           modulation="DBPSK", rate="R1_4")
+                                           modulation="DBPSK", rate="R1_4",
+                                           use_css=use_css)
         self.data_wf = self.handshake_wf
         self._pending_link: LinkMode | None = None
         self._mfsk_wf = None  # lazy MFSK fallback waveform
@@ -127,6 +131,10 @@ class Station:
         self.link_adapter = LinkAdapter()
         self._now_ms = 0.0
 
+        # Observer hook for dashboards (runtime.tui / monitor): called with
+        # every successfully decoded RxFrame.
+        self.on_rx_frame = None
+
         self.conn.on_transmit = self._on_conn_transmit
         self.conn.on_ping_tx = self._tx_ping
         self.conn.on_pong_tx = self._tx_ping  # same waveform; context decides
@@ -134,11 +142,15 @@ class Station:
 
     # ------------------------------------------------------------------ TX
     def _tx_ping(self):
-        cfg = self.handshake_wf.cfg
+        from ria_tpu.sync.css import CSS_PING
+
+        wf = self.handshake_wf
+        cfg = wf.cfg
         magic = bytes_to_bits(PING_MAGIC)  # 32 bits
         # Replicate each magic bit across every carrier of its MC symbol.
         bits = np.repeat(magic[:PING_SYMBOLS], cfg.bits_per_mc_symbol)
-        samples = np.concatenate([mc_dpsk.preamble(cfg), mc_dpsk.modulate(bits, cfg)])
+        samples = np.concatenate([wf.acq_preamble(CSS_PING),
+                                  mc_dpsk.modulate(bits, cfg)])
         self._enqueue_tx(samples)
         self.stats.frames_tx += 1
 
@@ -189,7 +201,7 @@ class Station:
                 if self._spread4_wf is None:
                     self._spread4_wf = MCDPSKWaveform(
                         num_carriers=self.mc_carriers, modulation="DBPSK",
-                        rate="R1_4", spreading=4)
+                        rate="R1_4", spreading=4, use_css=self.use_css)
                 wf, light = self._spread4_wf, False
             else:
                 wf, light = self.handshake_wf, False
@@ -430,12 +442,34 @@ class Station:
                 win = np.concatenate([win, np.zeros(W - len(win), np.float32)])
             sync = wf.detect_sync(win, light=light)
             if sync is not None:
+                # CSS partial-view guard: a preamble cut by the window tail
+                # can alias into a confident-looking wrong (shift, pos) —
+                # a cyclic shift IS a wrapped time shift.  A full in-window
+                # view scores ~0.97; anything weaker near the window tail
+                # is checked against the next overlapping window (deep
+                # buffer) or deferred until more audio arrives (buffer end).
+                if (sync.get("kind") == "css" and sync["corr"] < 0.9
+                        and end < n):
+                    p2 = end - ov
+                    end2 = min(p2 + W, n)
+                    win2 = self.rx_buffer[p2:end2]
+                    if len(win2) < W:
+                        win2 = np.concatenate(
+                            [win2, np.zeros(W - len(win2), np.float32)])
+                    s2 = wf.detect_sync(win2, light=light)
+                    if s2 is not None and s2["corr"] > sync["corr"]:
+                        sync, p = s2, p2
+                margin = 1024
+                if sync.get("kind") == "css" and sync["corr"] < 0.9:
+                    # Possible truncated preamble still arriving: wait until
+                    # the buffer extends a full chirp+gap past the start.
+                    margin = 30000
                 start = sync["start"] + p
                 # A content start within the trailing margin may come from a
                 # preamble truncated by the buffer end — its timing can be
                 # early/late.  Leave the cursor and re-detect next tick with
                 # the preamble fully buffered.
-                if start <= n - 1024:
+                if start <= n - margin:
                     sync["start"] = start
                     return sync
                 return None
@@ -497,23 +531,32 @@ class Station:
                     self.conn.on_frame_received(rx.frame_bytes)
             return
 
-        # PING/PONG discrimination on chirp-preamble signals (once).
-        if (sync["kind"] == "chirp" and isinstance(wf, MCDPSKWaveform)
+        # PING/PONG discrimination on acquisition-preamble signals (once).
+        # With CSS preambles the frame type arrives in the chirp's cyclic
+        # shift (reference css_sync.hpp): non-PING shifts skip the check
+        # entirely; a PING shift still verifies the raw magic bits.
+        if (sync["kind"] in ("chirp", "css") and isinstance(wf, MCDPSKWaveform)
                 and not pend["ping_checked"]):
+            if sync["kind"] == "css":
+                from ria_tpu.sync.css import CSS_PING
+
+                if sync.get("css_type") != CSS_PING:
+                    pend["ping_checked"] = True
             cfg = wf.cfg
             ping_need = (cfg.training_symbols + 1 + PING_SYMBOLS * cfg.spreading) \
                 * cfg.samples_per_symbol
-            if start + ping_need > n:
-                return  # wait for more audio
-            pend["ping_checked"] = True
-            if self._try_ping(start, sync["cfo_hz"]):
-                self.stats.pings_rx += 1
-                self._consume(start + ping_need)
-                if self.conn.state == ConnectionState.PROBING:
-                    self.conn.notify_pong_received()
-                else:
-                    self.conn.notify_ping_received()
-                return
+            if not pend["ping_checked"]:
+                if start + ping_need > n:
+                    return  # wait for more audio
+                pend["ping_checked"] = True
+                if self._try_ping(start, sync["cfo_hz"]):
+                    self.stats.pings_rx += 1
+                    self._consume(start + ping_need)
+                    if self.conn.state == ConnectionState.PROBING:
+                        self.conn.notify_pong_received()
+                    else:
+                        self.conn.notify_ping_received()
+                    return
 
         # Wait until the buffer can hold the CW0 peek span.
         if start + self._frame_body_samples(wf, 1, control=True) > n:
@@ -549,7 +592,7 @@ class Station:
             # Spread-4 hypothesis applies to beacons AND to handshake
             # escalation frames — the latter can arrive while CONNECTED
             # (a duplicate CONNECT retried spread-4 after our ACK faded).
-            if (sync["kind"] == "chirp"
+            if (sync["kind"] in ("chirp", "css")
                     and isinstance(wf, MCDPSKWaveform) and wf.cfg.spreading == 1
                     and not pend.get("beacon_ruled_out")):
                 hyps = pend.get("bwfs")
@@ -558,7 +601,7 @@ class Station:
                     # then the fixed 10-carrier broadcast beacon geometry.
                     hyps = [MCDPSKWaveform(num_carriers=self.mc_carriers,
                                            modulation="DBPSK", rate="R1_4",
-                                           spreading=4)]
+                                           spreading=4, use_css=self.use_css)]
                     if self.mc_carriers != 10:
                         hyps.append(MCDPSKWaveform(modulation="DBPSK",
                                                    rate="R1_4", spreading=4))
@@ -656,6 +699,8 @@ class Station:
                 self.conn.measured_doppler_hz = rx.doppler_spread_hz
             self.conn.on_frame_received(rx.frame_bytes)
             self._feed_link_adapter(rx)
+            if self.on_rx_frame is not None:
+                self.on_rx_frame(rx)
             return
 
         # Failed decode with the whole frame span present: the decode is

@@ -39,7 +39,7 @@ class DualStationSim:
                  save_signals: str | None = None,
                  mc_carriers: int = 10, chase_enabled: bool = True,
                  feed_chunk_ms: float | None = None,
-                 decode_delay_blocks: int = 1):
+                 decode_delay_blocks: int = 1, use_css: bool = False):
         self.channel_cfg = channel_cfg or awgn(15.0)
         self.block = int(48000 * block_ms / 1000.0)
         self.block_ms = block_ms
@@ -50,9 +50,9 @@ class DualStationSim:
                            if feed_chunk_ms else None)
         self.decode_delay_blocks = max(1, int(decode_delay_blocks))
         self.alpha = Station("ALPHA", config_a, mc_carriers=mc_carriers,
-                             chase_enabled=chase_enabled)
+                             chase_enabled=chase_enabled, use_css=use_css)
         self.bravo = Station("BRAVO", config_b, mc_carriers=mc_carriers,
-                             chase_enabled=chase_enabled)
+                             chase_enabled=chase_enabled, use_css=use_css)
         self.key_ab = jax.random.PRNGKey(seed)
         self.key_ba = jax.random.PRNGKey(seed + 1)
         # Streaming channel state per direction: fading taps, echo delay

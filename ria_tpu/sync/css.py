@@ -66,9 +66,24 @@ def _shifted_chirp(cfg: CSSConfig, shift: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _shifted_template(cfg: CSSConfig, shift: int) -> np.ndarray:
+    """Analytic template of the WHOLE preamble (both chirp repeats + gap).
+
+    Matching one chirp at a time is ambiguous two ways: the correlator
+    peaks equally at either repeat (locking one chirp+gap late), and a
+    partially-visible shifted chirp aliases into a different (shift,
+    position) pair — a cyclic shift IS a wrapped time shift.  The full
+    two-chirp template has a unique global peak.
+    """
     analytic = np.exp(1j * _base_phase(cfg)).astype(np.complex64)
     off = (shift * cfg.chirp_samples) // cfg.num_shifts
-    return np.roll(analytic, off)
+    one = np.roll(analytic, off)
+    gap = np.zeros(cfg.gap_samples, np.complex64)
+    parts = []
+    for i in range(cfg.num_chirps):
+        parts.append(one)
+        if i < cfg.num_chirps - 1:
+            parts.append(gap)
+    return np.concatenate(parts)
 
 
 def generate_preamble(cfg: CSSConfig, frame_type: int, amplitude: float = 0.5) -> np.ndarray:
@@ -92,13 +107,13 @@ class CSSResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def detect(samples: jnp.ndarray, cfg: CSSConfig) -> CSSResult:
     n = samples.shape[-1]
-    L = cfg.chirp_samples
+    L = len(_shifted_template(cfg, 0))          # full two-chirp span
     if n < cfg.preamble_samples + 64:
         shape = samples.shape[:-1]
         return CSSResult(jnp.zeros(shape, bool), jnp.full(shape, CSS_UNKNOWN, jnp.int32),
                          jnp.full(shape, -1, jnp.int32), jnp.zeros(shape, jnp.float32))
     nfft = 1 << (n + L - 1).bit_length()
-    num_lags = n - L
+    num_lags = max(n - L, 1)
 
     X = jnp.fft.fft(samples.astype(jnp.complex64), nfft)
     tmpl = np.stack([_shifted_template(cfg, s) for s in range(cfg.num_shifts)])
@@ -109,7 +124,11 @@ def detect(samples: jnp.ndarray, cfg: CSSConfig) -> CSSResult:
     zero = jnp.zeros(samples.shape[:-1] + (1,), jnp.float32)
     cs = jnp.concatenate([zero, e], axis=-1)
     win = cs[..., L : L + num_lags] - cs[..., :num_lags]
-    energy = float(np.sum(np.sin(_base_phase(cfg)) ** 2))
+    # Relative energy floor: a near-silent lag window must not spike the
+    # normalized metric (a noise-only denominator under a tiny numerator
+    # reads as a detection and skips the real preamble further on).
+    win = jnp.maximum(win, 0.02 * jnp.max(win, axis=-1, keepdims=True))
+    energy = float(np.sum(np.abs(_shifted_template(cfg, 0)) ** 2) / 2.0)
     norm = corr / jnp.sqrt(jnp.maximum(win[..., None, :] * energy, 1e-20))
 
     flat = norm.reshape(norm.shape[:-2] + (-1,))

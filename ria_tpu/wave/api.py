@@ -170,7 +170,7 @@ class MCDPSKWaveform:
 
     def __init__(self, num_carriers: int = 10, modulation: str = "DBPSK",
                  rate: str = "R1_4", spreading: int = 1,
-                 channel_interleave: bool = False):
+                 channel_interleave: bool = False, use_css: bool = False):
         self.cfg = mc_dpsk.MCDPSKConfig(
             num_carriers=num_carriers,
             bits_per_symbol=2 if modulation == "DQPSK" else 1,
@@ -179,6 +179,18 @@ class MCDPSKWaveform:
         self.rate = rate
         self.channel_interleave = channel_interleave
         self.zc_cfg = zc_sync.ZCConfig()
+        # Optional CSS acquisition preamble (reference --css,
+        # src/sync/css_sync.hpp:1-40): frame type rides the chirp's cyclic
+        # shift, so the receiver knows PING/DATA/CONTROL from sync itself
+        # instead of the post-chirp energy-ratio discrimination.  Tradeoff
+        # vs the dual chirp: no CFO estimate (an up-chirp pair is needed to
+        # separate CFO from timing), so CSS suits near-zero-CFO links.
+        self.use_css = use_css
+        self.css_cfg = None
+        if use_css:
+            from ria_tpu.sync import css
+
+            self.css_cfg = css.CSSConfig()
 
     def configure(self, modulation: str, rate: str, spreading: int = 1,
                   num_carriers: int | None = None):
@@ -206,25 +218,47 @@ class MCDPSKWaveform:
             cw_bits = encode_frame_ldpc(bytes(patched), self.rate, ci)
         return cw_bits, is_ctrl
 
+    def _train_ref(self) -> np.ndarray:
+        train = mc_dpsk._synthesize(mc_dpsk._training_matrix(self.cfg), self.cfg)
+        ref = mc_dpsk._synthesize(
+            np.ones((1, self.cfg.num_carriers), np.complex64), self.cfg)
+        return np.concatenate([train, ref])
+
+    def acq_preamble(self, css_type: int, tx_cfo_hz: float = 0.0) -> np.ndarray:
+        """Acquisition preamble + training + reference symbol.  css_type
+        selects the CSS cyclic shift when use_css (ignored for chirp)."""
+        if self.use_css:
+            from ria_tpu.sync import css
+
+            head = css.generate_preamble(self.css_cfg, css_type)
+            return np.concatenate([head, self._train_ref()]).astype(np.float32)
+        return mc_dpsk.preamble(self.cfg, tx_cfo_hz)
+
     def tx_frame(self, frame_bytes: bytes, light: bool = False,
                  tx_cfo_hz: float = 0.0) -> np.ndarray:
+        from ria_tpu.sync import css
+
         cw_bits, is_ctrl = self._encode_bits(frame_bytes)
         bits = cw_bits.reshape(-1)
         body = mc_dpsk.modulate(bits, self.cfg)
         if light:
             ftype = zc_sync.ZC_CONTROL if is_ctrl else zc_sync.ZC_DATA
             zc = zc_sync.generate_preamble(self.zc_cfg, ftype)
-            train = mc_dpsk._synthesize(mc_dpsk._training_matrix(self.cfg), self.cfg)
-            ref = mc_dpsk._synthesize(
-                np.ones((1, self.cfg.num_carriers), np.complex64), self.cfg)
-            return np.concatenate([zc, train, ref, body]).astype(np.float32)
-        return np.concatenate([mc_dpsk.preamble(self.cfg, tx_cfo_hz), body])
+            return np.concatenate([zc, self._train_ref(), body]).astype(np.float32)
+        head = self.acq_preamble(css.CSS_CONTROL if is_ctrl else css.CSS_DATA,
+                                 tx_cfo_hz)
+        return np.concatenate([head, body])
 
     def frame_samples(self, num_codewords: int, light: bool = False) -> int:
         n_bits = num_codewords * LDPC_BITS
         body = self.cfg.num_rx_symbols(n_bits) * self.cfg.samples_per_symbol
         train_ref = (self.cfg.training_symbols + 1) * self.cfg.samples_per_symbol
-        head = self.zc_cfg.preamble_samples if light else self.cfg.chirp.total_samples
+        if light:
+            head = self.zc_cfg.preamble_samples
+        elif self.use_css:
+            head = self.css_cfg.preamble_samples
+        else:
+            head = self.cfg.chirp.total_samples
         return head + train_ref + body
 
     # ------------------------------------------------------------------ RX
@@ -237,8 +271,11 @@ class MCDPSKWaveform:
     def search_overlap(self, light: bool = False) -> int:
         """Overlap re-searched between consecutive windows: one full
         preamble plus margin, so a boundary-straddling preamble is found."""
-        return (self.zc_cfg.preamble_samples + 2048 if light
-                else self.cfg.chirp.total_samples + 4800)
+        if light:
+            return self.zc_cfg.preamble_samples + 2048
+        if self.use_css:
+            return self.css_cfg.preamble_samples + 4800
+        return self.cfg.chirp.total_samples + 4800
 
     def peek_header(self, audio: np.ndarray, start: int, cfo: float,
                     light: bool = False):
@@ -264,6 +301,15 @@ class MCDPSKWaveform:
             return {"start": int(res.start_sample), "cfo_hz": float(res.cfo_hz),
                     "corr": float(res.correlation), "kind": "zc",
                     "zc_type": int(res.frame_type)}
+        if self.use_css:
+            from ria_tpu.sync import css
+
+            cres = css.detect(x, self.css_cfg)
+            if not bool(cres.detected):
+                return None
+            return {"start": int(cres.start_sample), "cfo_hz": 0.0,
+                    "corr": float(cres.correlation), "kind": "css",
+                    "css_type": int(cres.frame_type)}
         res = chirp_sync.detect_dual_chirp(x, self.cfg.chirp)
         if not bool(res.detected):
             return None
@@ -336,14 +382,22 @@ class MCDPSKWaveform:
         n_sym = self.cfg.num_data_symbols(total_cw * LDPC_BITS)
         body_len = (self.cfg.training_symbols + 1 + n_sym * self.cfg.spreading) \
             * self.cfg.samples_per_symbol
-        pre = start - (self.zc_cfg.preamble_samples if sync.get("kind") == "zc"
-                       else self.cfg.chirp.total_samples)
+        if sync.get("kind") == "zc":
+            pre = start - self.zc_cfg.preamble_samples
+        elif sync.get("kind") == "css":
+            pre = start - self.css_cfg.preamble_samples
+        else:
+            pre = start - self.cfg.chirp.total_samples
         snr_db = _tracked_snr(self, audio, start, body_len, pre)
         # Handshake channel probe for OFDM<->OTFS routing (the reference's
         # AdaptiveModem preamble characterization, adaptive_modem.hpp:25-230).
         from ria_tpu.phy.channel_probe import estimate_mc_dpsk
 
         probe = estimate_mc_dpsk(np.asarray(res.zsym), self.cfg, snr_db)
+        z = np.asarray(res.zsym)[self.cfg.training_symbols:]
+        d = z[1:] * np.conj(z[:-1])
+        m = np.abs(d)
+        self.last_symbols = (d / np.maximum(m, 1e-9) * 0.9).reshape(-1)
         return RxFrame(ok, frame_bytes, header, oks, soft,
                        snr_db=snr_db,
                        fading_index=float(res.freq_fading_index + res.temporal_fading_index),
@@ -455,6 +509,8 @@ class _OFDMWaveformBase:
         # Data path: fixed 4-CW frame at the negotiated profile.
         num_bits = 4 * LDPC_BITS
         soft, res = self._demod(audio, lts_start, cfo, self.cfg, num_bits)
+        # Constellation feed (reference GUI snapshots): equalized symbols.
+        self.last_symbols = np.asarray(res.symbols).reshape(-1)
         oks, frame_bytes = decode_fixed_frame(soft, self.rate, self._ci_bits)
         if frame_bytes is None and self._ci_bits:
             # "Try both" raw vs channel-interleaved (reference
@@ -871,6 +927,112 @@ class MFSKWaveform:
                        snr_db=snr, start_sample=start)
 
 
+class DPSKWaveform:
+    """Single-carrier DPSK with Barker-13x3 sync (reference src/psk/dpsk.hpp:
+    Barker preamble :108-140, presets :1118).  The reference's lowest-rate
+    robust waveform: one carrier at 1500 Hz concentrates all TX power in
+    ~60 Hz of bandwidth — ~16 dB/Hz denser than 10-carrier MC-DPSK — at
+    31.25-93.75 baud.  Niche: very-low-SNR point-to-point links and raw-PING
+    parity workflows; never auto-negotiated (the selection ladder prefers
+    MC-DPSK's diversity + throughput on fading HF channels)."""
+
+    mode = WaveformMode.DPSK
+    fallback_cw = 1
+    header_required = True
+
+    def __init__(self, modulation: str = "DQPSK", rate: str = "R1_4",
+                 samples_per_symbol: int = 512):
+        from ria_tpu.wave import dpsk
+
+        self.modulation = modulation
+        self.rate = rate
+        self.cfg = dpsk.DPSKConfig(
+            bits_per_symbol={"DBPSK": 1, "DQPSK": 2, "D8PSK": 3}.get(modulation, 2),
+            samples_per_symbol=samples_per_symbol)
+
+    def configure(self, modulation: str, rate: str):
+        from dataclasses import replace as _replace
+
+        self.modulation = modulation
+        self.rate = rate
+        self.cfg = _replace(
+            self.cfg,
+            bits_per_symbol={"DBPSK": 1, "DQPSK": 2, "D8PSK": 3}.get(modulation, 2))
+
+    def tx_frame(self, frame_bytes: bytes, light: bool = False,
+                 tx_cfo_hz: float = 0.0) -> np.ndarray:
+        from ria_tpu.wave import dpsk
+
+        cw_bits, _ = _encode_with_cw_patch(frame_bytes, self.rate, None)
+        return dpsk.tx_frame(cw_bits.reshape(-1), self.cfg)
+
+    def frame_samples(self, num_codewords: int, light: bool = False) -> int:
+        return self.cfg.frame_samples(num_codewords * LDPC_BITS)
+
+    def search_window(self, light: bool = False) -> int:
+        return 96000
+
+    def search_overlap(self, light: bool = False) -> int:
+        return self.cfg.preamble_samples + self.cfg.samples_per_symbol
+
+    def _demod_fixed(self, audio: np.ndarray, start: int, num_bits: int):
+        from ria_tpu.wave import dpsk
+
+        S = self.cfg.num_symbols_for_bits(num_bits)
+        need = (S + 1) * self.cfg.samples_per_symbol
+        chunk = np.zeros(need, np.float32)
+        avail = np.asarray(audio[start : start + need], np.float32)
+        chunk[: len(avail)] = avail
+        res = dpsk.demodulate(jnp.asarray(chunk), self.cfg, num_bits)
+        return np.asarray(res.soft_bits), res
+
+    def peek_header(self, audio: np.ndarray, start: int, cfo: float,
+                    light: bool = False):
+        soft0, _ = self._demod_fixed(audio, start, LDPC_BITS)
+        ok0, chunk0 = decode_codewords(soft0[None, :], self.rate, None)
+        return parse_header(chunk0[0]) if ok0[0] else None
+
+    def detect_sync(self, audio: np.ndarray, light: bool = False):
+        from ria_tpu.wave import dpsk
+
+        res = dpsk.find_preamble(jnp.asarray(np.asarray(audio, np.float32)),
+                                 self.cfg)
+        if not bool(res.detected):
+            return None
+        return {"start": int(res.data_start), "cfo_hz": 0.0,
+                "corr": float(res.corr), "kind": "barker"}
+
+    def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None,
+                 sync: dict | None = None) -> RxFrame:
+        if sync is None:
+            sync = self.detect_sync(audio)
+        if sync is None:
+            return RxFrame(False, None, None, None, None)
+        start = sync["start"]
+        soft0, _ = self._demod_fixed(audio, start, LDPC_BITS)
+        ok0, chunk0 = decode_codewords(soft0[None, :], self.rate, None)
+        header = parse_header(chunk0[0]) if ok0[0] else None
+        if header is None:
+            return RxFrame(False, None, None, None, soft0, start_sample=start)
+        total_cw = 1 if header["is_control"] else max(1, int(header["total_cw"]))
+        soft, res = self._demod_fixed(audio, start, total_cw * LDPC_BITS)
+        oks, chunks = decode_codewords(soft.reshape(total_cw, LDPC_BITS),
+                                       self.rate, None)
+        oks = np.array(oks)
+        frame_bytes = reassemble_codewords(list(chunks), self.rate) if oks.all() else None
+        ok = bool(oks.all())
+        if header["is_control"]:
+            ok, frame_bytes = _control_crc_gate(frame_bytes if ok else None,
+                                                soft[:LDPC_BITS], self.rate)
+        elif ok:
+            ok = DataFrame.deserialize(frame_bytes) is not None
+        ext = self.frame_samples(total_cw) - self.cfg.preamble_samples
+        snr = _tracked_snr(self, audio, start, ext,
+                           start - self.cfg.preamble_samples)
+        return RxFrame(ok, frame_bytes, header, oks, soft, snr_db=snr,
+                       cfo_hz=0.0, start_sample=start)
+
+
 def create_waveform(mode: WaveformMode, modulation: str | None = None,
                     rate: str | None = None, **kw):
     """WaveformFactory equivalent (waveform_factory.hpp:18-60)."""
@@ -891,4 +1053,7 @@ def create_waveform(mode: WaveformMode, modulation: str | None = None,
                             raw_dd=True, **kw)
     if mode == WaveformMode.MFSK:
         return MFSKWaveform(rate=rate or "R1_4", **kw)
+    if mode == WaveformMode.DPSK:
+        return DPSKWaveform(modulation=modulation or "DQPSK",
+                            rate=rate or "R1_4", **kw)
     raise NotImplementedError(f"waveform mode {mode}")

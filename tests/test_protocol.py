@@ -653,3 +653,17 @@ def test_tx_config_drift_guard_heals():
     assert sim.alpha.stats.config_mismatches >= 1
     assert sim.alpha.data_wf.modulation == link.modulation
     assert sim.alpha.data_wf.rate == link.rate
+
+def test_css_typed_session():
+    """CSS acquisition preambles (reference --css, css_sync.hpp): frame
+    type rides the chirp's cyclic shift; a full session — PING typed by
+    shift, CONNECT/data — connects and delivers."""
+    sim = DualStationSim(awgn(12.0), seed=7, use_css=True)
+    got = []
+    sim.bravo.conn.on_message = lambda d: got.append(d)
+    assert sim.alpha.conn.connect("BRAVO")
+    assert sim.run_until(sim.both_connected, max_ticks=300)
+    assert sim.bravo.stats.pings_rx >= 1
+    payload = b"css typed session"
+    sim.alpha.conn.send_message(payload)
+    assert sim.run_until(lambda: got == [payload], max_ticks=200)

@@ -140,3 +140,28 @@ def test_mfsk_waveform_control_frame_low_snr():
     assert rx.ok, f"MFSK control decode failed"
     g = ControlFrame.deserialize(rx.frame_bytes)
     assert g is not None and g.seq == 7
+
+
+def test_dpsk_waveform_factory_roundtrip():
+    """Single-carrier DPSK is factory-reachable (reference dpsk.hpp presets
+    :1118) and decodes a data frame at -4 dB AWGN — the one-carrier power
+    concentration niche."""
+    import jax
+    import jax.numpy as jnp
+
+    from ria_tpu.phy.frame_v2 import DataFrame, WaveformMode, make_fixed_data_frame
+    from ria_tpu.sim import apply_channel, awgn
+    from ria_tpu.wave.api import create_waveform
+
+    wf = create_waveform(WaveformMode.DPSK, "DQPSK", "R1_4")
+    payload = b"single carrier dpsk frame"
+    fb = make_fixed_data_frame("W1AW", "VE3ABC", 3, payload, "R1_4").serialize()
+    tx = wf.tx_frame(fb)
+    audio = np.concatenate([np.zeros(5000, np.float32), tx,
+                            np.zeros(4000, np.float32)])
+    out = np.asarray(apply_channel(jnp.asarray(audio), jax.random.PRNGKey(1),
+                                   awgn(-4.0)).samples)
+    rx = wf.rx_frame(out)
+    assert rx.ok, "DPSK frame failed at -4 dB"
+    g = DataFrame.deserialize(rx.frame_bytes)
+    assert g.payload[: len(payload)] == payload

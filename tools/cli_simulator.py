@@ -61,6 +61,7 @@ def run_session(args, seed: int) -> dict:
                          save_signals=args.save_signals,
                          mc_carriers=getattr(args, "carriers", 10),
                          chase_enabled=not getattr(args, "no_chase", False),
+                         use_css=getattr(args, "css", False),
                          feed_chunk_ms=getattr(args, "feed_chunk_ms", None),
                          decode_delay_blocks=getattr(args, "decode_delay_blocks", 1))
     result = {"seed": seed, "connected": False, "messages": 0, "file_ok": False,
@@ -185,6 +186,9 @@ def main(argv=None) -> int:
                     help="negotiate burst-interleave groups of 4 (OFDM links)")
     ap.add_argument("--bulk", type=int, default=0,
                     help="send one N-byte bulk message and report virtual-time bps")
+    ap.add_argument("--css", action="store_true",
+                    help="CSS acquisition preambles: frame type in the "
+                         "chirp's cyclic shift (reference --css)")
     ap.add_argument("--no-chase", action="store_true",
                     help="disable HARQ chase combining")
     ap.add_argument("--feed-chunk-ms", type=float, default=None,
