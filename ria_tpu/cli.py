@@ -161,6 +161,36 @@ def cmd_monitor(args) -> int:
     return 0
 
 
+def cmd_gui(args) -> int:
+    """Live operator dashboard (reference ria_gui; curses TUI here).
+
+    --sim embeds a virtual peer station behind a Watterson channel
+    (reference `ria_gui -sim`); without it the station runs on a
+    runtime.audio backend (loopback by default, sounddevice if available).
+    """
+    from ria_tpu.runtime.tui import TuiApp
+
+    sim_channel = None
+    if args.sim:
+        from ria_tpu.sim import PRESETS
+
+        sim_channel = PRESETS[args.channel](args.snr)
+    backend = None
+    if not args.sim and args.audio == "device":  # pragma: no cover - hardware
+        from ria_tpu.runtime.audio import SoundDeviceBackend
+
+        backend = SoundDeviceBackend()
+    app = TuiApp(mycall=args.src, peer=args.dst, sim_channel=sim_channel,
+                 seed=args.seed, audio_backend=backend)
+    if args.frames:  # headless render (tests / CI smoke)
+        for _ in range(args.frames):
+            app.step()
+        print("\n".join(app.build_frame()))
+        return 0
+    app.run_curses()  # pragma: no cover - terminal
+    return 0
+
+
 def cmd_info(args) -> int:
     from ria_tpu import __version__
     from ria_tpu.fec.ldpc_matrix import CODE_PARAMS
@@ -204,6 +234,21 @@ def main(argv=None) -> int:
     mon.add_argument("input", help="file path or - for stdin")
     mon.add_argument("-s", "--src", default="NOCALL")
     mon.set_defaults(fn=cmd_monitor)
+
+    gui = sub.add_parser("gui", help="live operator dashboard (curses TUI)")
+    gui.add_argument("-s", "--src", default="N0CALL")
+    gui.add_argument("-d", "--dst", default="VIRT")
+    gui.add_argument("--sim", action="store_true",
+                     help="embed a virtual peer behind a Watterson channel")
+    gui.add_argument("--channel", default="awgn",
+                     choices=["awgn", "good", "moderate", "poor", "flutter"])
+    gui.add_argument("--snr", type=float, default=15.0)
+    gui.add_argument("--seed", type=int, default=42)
+    gui.add_argument("--audio", default="loopback",
+                     choices=["loopback", "device"])
+    gui.add_argument("--frames", type=int, default=0,
+                     help="headless: step N blocks, print one frame, exit")
+    gui.set_defaults(fn=cmd_gui)
 
     info = sub.add_parser("info", help="print modem configuration")
     info.set_defaults(fn=cmd_info)

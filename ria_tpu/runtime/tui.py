@@ -1,0 +1,268 @@
+"""Live operator dashboard (TUI) — the reference GUI app's surface, headless.
+
+The reference ships an ImGui/SDL2 application (src/gui/app.cpp: waterfall,
+constellation, status readouts, connect/disconnect/beacon controls, message
+console, settings persistence, embedded `-sim` virtual-station mode).  This
+platform has no display stack, so the same operator surface is a curses TUI
+over the exact data producers the GUI widgets would use
+(runtime/monitor.py) and the same Station/Connection engine:
+
+- live ASCII waterfall of the RX audio (STFT dB ramp);
+- constellation scatter of recent equalized symbols;
+- status: connection state, negotiated link, SNR/CFO/fading, frame
+  counters, buffer fill, chase stats;
+- message console + input line (Enter sends over the session);
+- keys: c=connect d=disconnect b=beacon q=quit, type to compose;
+- `--sim` embeds a second full station behind a Watterson channel in-process
+  (reference `ria_gui -sim`), so the dashboard runs with zero hardware;
+- plain audio mode drives a runtime.audio backend (loopback/file/device).
+
+Rendering is split from curses: `build_frame()` returns plain text lines,
+so the whole dashboard is unit-testable headless; `run_curses()` is the
+only terminal-bound code.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ria_tpu.runtime.monitor import ModemMonitor, waterfall
+
+RAMP = " .:-=+*#%@"
+
+
+def render_waterfall(db: np.ndarray, width: int = 64, height: int = 10) -> list[str]:
+    """STFT dB matrix [frames, bins] -> `height` text rows (newest last).
+
+    Auto-ranged like the reference waterfall widget: the ramp spans from
+    the current median level (noise floor) to the current peak, so the
+    display stays readable at any input gain."""
+    if db.size == 0:
+        return ["(no audio)"] + [""] * (height - 1)
+    floor_db = float(np.median(db)) - 3.0
+    span_db = max(float(db.max()) - floor_db, 20.0)
+    frames = db.shape[0]
+    rows = []
+    take = np.linspace(0, frames - 1, height).astype(int)
+    for r in take:
+        bins = db[r]
+        cols = np.linspace(0, len(bins) - 1, width).astype(int)
+        level = (bins[cols] - floor_db) / span_db
+        idx = np.clip((level * (len(RAMP) - 1)).astype(int), 0, len(RAMP) - 1)
+        rows.append("".join(RAMP[i] for i in idx))
+    return rows
+
+
+def render_constellation(symbols: np.ndarray, width: int = 31,
+                         height: int = 15, span: float = 1.6) -> list[str]:
+    """Complex symbols -> scatter plot rows with axes."""
+    grid = [[" "] * width for _ in range(height)]
+    cy, cx = height // 2, width // 2
+    for y in range(height):
+        grid[y][cx] = "|"
+    for x in range(width):
+        grid[cy][x] = "-"
+    grid[cy][cx] = "+"
+    for s in np.asarray(symbols).reshape(-1)[-400:]:
+        x = int(round(cx + s.real / span * cx))
+        y = int(round(cy - s.imag / span * cy))
+        if 0 <= x < width and 0 <= y < height:
+            grid[y][x] = "o"
+    return ["".join(r) for r in grid]
+
+
+def render_status(status, link, extra: dict | None = None) -> list[str]:
+    lines = [
+        f"state  {status.state:<14} waveform {status.waveform}",
+        f"link   {link.modulation}/{link.rate}"
+        + (f" spread{link.spreading}x" if getattr(link, "spreading", 1) > 1 else "")
+        + (f" burst{link.burst_group}" if getattr(link, "burst_group", 0) else ""),
+        f"snr    {status.snr_db:6.1f} dB   cfo {status.cfo_hz:+6.1f} Hz   "
+        f"fading {status.fading_index:4.2f}",
+        f"frames rx {status.frames_rx}  tx {status.frames_tx}  "
+        f"fail {status.decode_failures}  buf {100 * status.buffer_fill:4.1f}%",
+    ]
+    for k, v in (extra or {}).items():
+        lines.append(f"{k:<6} {v}")
+    return lines
+
+
+@dataclass
+class TuiState:
+    messages: list = field(default_factory=list)   # (dir, text)
+    input_line: str = ""
+    running: bool = True
+
+
+class TuiApp:
+    """Headless-drivable dashboard engine.
+
+    sim mode: owns a DualStationSim; the local operator drives ALPHA, the
+    embedded virtual peer (BRAVO) auto-accepts and acknowledges messages —
+    the reference's `ria_gui -sim` twin-station mode.
+    audio mode: owns a single Station + runtime.audio backend.
+    """
+
+    def __init__(self, mycall: str = "N0CALL", peer: str = "VIRT",
+                 sim_channel=None, seed: int = 42, audio_backend=None,
+                 settings=None):
+        self.state = TuiState()
+        self.peer = peer
+        self.settings = settings
+        self.sim = None
+        self.audio = None
+        if sim_channel is not None:
+            from ria_tpu.sim.simulator import DualStationSim
+
+            self.sim = DualStationSim(sim_channel, seed=seed)
+            self.station = self.sim.alpha
+            self.station.callsign = mycall
+            self.station.conn.set_local_callsign(mycall)
+            self.peer = "BRAVO"
+            self.sim.bravo.conn.on_message = self._peer_got
+        else:
+            from ria_tpu.phy.station import Station
+            from ria_tpu.runtime.audio import AudioEngine, LoopbackBackend
+
+            self.station = Station(mycall)
+            self.audio = AudioEngine(backend=audio_backend or LoopbackBackend(),
+                                     rx_callback=self.station.feed_audio)
+        self.monitor = ModemMonitor(self.station)
+
+        def _observe(rx):
+            self.monitor.observe_rx(rx)
+            syms = getattr(self.station.data_wf, "last_symbols", None)
+            if syms is None:
+                syms = getattr(self.station.handshake_wf, "last_symbols", None)
+            if syms is not None and len(syms):
+                self.monitor.constellation.push(syms)
+
+        self.station.on_rx_frame = _observe
+        self.station.conn.on_message = self._got_message
+        self.station.conn.on_connected = lambda: self._log("sys", "CONNECTED")
+        self.station.conn.on_disconnected = \
+            lambda r: self._log("sys", f"DISCONNECTED ({r})")
+
+    # ------------------------------------------------------------- events
+    def _log(self, direction: str, text):
+        self.state.messages.append((direction, str(text)))
+        del self.state.messages[:-200]
+
+    def _got_message(self, data: bytes):
+        self._log("rx", data.decode("utf-8", "replace"))
+
+    def _peer_got(self, data: bytes):
+        # Virtual peer acknowledges traffic (reference sim-mode echo).
+        self._log("peer", data.decode("utf-8", "replace"))
+
+    # ------------------------------------------------------------- control
+    def connect(self):
+        self._log("sys", f"connecting {self.peer}...")
+        self.station.conn.connect(self.peer)
+
+    def disconnect(self):
+        self.station.conn.disconnect()
+
+    def beacon(self):
+        self.station.conn.send_beacon(b"TUI")
+        self._log("sys", "beacon queued")
+
+    def send_message(self, text: str):
+        if not text:
+            return
+        self.station.conn.send_message(text.encode())
+        self._log("tx", text)
+
+    def handle_key(self, ch: str):
+        st = self.state
+        if st.input_line or ch not in ("c", "d", "b", "q"):
+            if ch == "\n":
+                self.send_message(st.input_line)
+                st.input_line = ""
+            elif ch in ("\x7f", "\b"):
+                st.input_line = st.input_line[:-1]
+            elif ch.isprintable():
+                st.input_line += ch
+            return
+        if ch == "c":
+            self.connect()
+        elif ch == "d":
+            self.disconnect()
+        elif ch == "b":
+            self.beacon()
+        elif ch == "q":
+            st.running = False
+
+    # ------------------------------------------------------------- engine
+    def step(self):
+        """Advance one audio block (sim tick or audio-engine block)."""
+        if self.sim is not None:
+            self.sim.step()
+        else:
+            if self.station.tx_pending:
+                self.audio.queue_tx(self.station.pull_tx(48000))
+            self.audio.process_block()
+            self.station.poll()
+            self.station.tick(21, poll=False)
+
+    def build_frame(self, width: int = 100, height: int = 30) -> list[str]:
+        wf_w = max(40, width - 36)
+        db, _ = self.monitor.waterfall_frame(48000 * 2)
+        wrows = render_waterfall(db, width=wf_w, height=10)
+        crows = render_constellation(self.monitor.constellation.snapshot(),
+                                     width=31, height=10)
+        status = self.monitor.status()
+        extra = {}
+        if self.station.chase is not None:
+            cs = self.station.chase.stats
+            extra["chase"] = f"hits {cs.cache_hits} combines {cs.combines} " \
+                             f"recoveries {cs.recoveries}"
+        srows = render_status(status, self.station.conn.link, extra)
+
+        out = [f"ria_tpu operator console — {self.station.callsign}"
+               f"  (c)onnect (d)isconnect (b)eacon (q)uit"]
+        out.append("-" * width)
+        for i in range(10):
+            left = wrows[i] if i < len(wrows) else ""
+            right = crows[i] if i < len(crows) else ""
+            out.append(f"{left:<{wf_w}}  |{right}")
+        out.append("-" * width)
+        out.extend(srows)
+        out.append("-" * width)
+        for d, m in self.state.messages[-(height - len(out) - 2):]:
+            out.append(f"[{d}] {m}")
+        out.append("-" * width)
+        out.append("> " + self.state.input_line)
+        return out[:height]
+
+    # ------------------------------------------------------------- curses
+    def run_curses(self, fps: float = 5.0):  # pragma: no cover - terminal
+        import curses
+
+        def loop(scr):
+            curses.curs_set(1)
+            scr.nodelay(True)
+            while self.state.running:
+                t0 = time.monotonic()
+                self.step()
+                h, w = scr.getmaxyx()
+                frame = self.build_frame(width=max(60, w - 1),
+                                         height=max(20, h - 1))
+                scr.erase()
+                for i, line in enumerate(frame[: h - 1]):
+                    scr.addnstr(i, 0, line, w - 1)
+                scr.refresh()
+                while True:
+                    try:
+                        ch = scr.get_wch()
+                    except curses.error:
+                        break
+                    self.handle_key(ch if isinstance(ch, str) else "")
+                dt = 1.0 / fps - (time.monotonic() - t0)
+                if dt > 0:
+                    time.sleep(dt)
+
+        curses.wrapper(loop)

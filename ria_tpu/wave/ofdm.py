@@ -542,6 +542,8 @@ class OFDMDemodResult(NamedTuple):
     noise_var: jnp.ndarray
     fading_index: jnp.ndarray   # CV of |H| over data carriers
     channel_mag: jnp.ndarray    # [..., D]
+    symbols: jnp.ndarray        # [..., S, D] equalized data-carrier symbols
+    #                             (constellation feed, reference GUI snapshots)
 
 
 def _demap(mod: str, eq: jnp.ndarray, prev: jnp.ndarray, nv: jnp.ndarray):
@@ -768,7 +770,7 @@ def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: OFDMCon
             else:
                 w_n = w + cfg.lms_mu * jnp.conj(dec) * errv
                 P_n = P
-            return (ema_n, var_n, eq_s, w_n, P_n), llr
+            return (ema_n, var_n, eq_s, w_n, P_n), (llr, eq_s)
 
         y_t = jnp.moveaxis(Yd, -2, 0)
         w0 = jnp.broadcast_to(H_data, y_t[0].shape).astype(jnp.complex64)
@@ -777,9 +779,10 @@ def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: OFDMCon
                        / jnp.maximum(jnp.square(jnp.abs(w0)) + noise_var[..., None], 1e-10))
         var0 = jnp.zeros_like(ema0)
         prev0 = jnp.ones_like(y_t[0])
-        (_, _, _, _, _), llrs = jax.lax.scan(
+        (_, _, _, _, _), (llrs, eq_syms) = jax.lax.scan(
             adapt_fn, (ema0, var0, prev0, w0, P0), (y_t, jnp.moveaxis(carrier_nv, -2, 0)))
         llrs = jnp.moveaxis(llrs, 0, -3)
+        eq_syms = jnp.moveaxis(eq_syms, 0, -2)
         soft = llrs.reshape(llrs.shape[:-3] + (S * D * BITS_PER_SYMBOL[mod],))
         h_mag = jnp.abs(H_data)
         mean_h = jnp.mean(h_mag, axis=-1)
@@ -787,7 +790,8 @@ def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: OFDMCon
                            jnp.std(h_mag, axis=-1) / jnp.maximum(mean_h, 1e-9), 0.0)
         snr_db = 10.0 * jnp.log10(jnp.maximum(avg_h_power[..., 0] / noise_var, 1e-6))
         return OFDMDemodResult(soft_bits=soft, snr_db=snr_db, noise_var=noise_var,
-                               fading_index=fading, channel_mag=h_mag)
+                               fading_index=fading, channel_mag=h_mag,
+                               symbols=eq_syms)
 
     eq_t = jnp.moveaxis(eq, -2, 0)          # [S, ..., D]
     nv_t = jnp.moveaxis(carrier_nv, -2, 0)
@@ -805,4 +809,4 @@ def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: OFDMCon
     snr_db = 10.0 * jnp.log10(jnp.maximum(avg_h_power[..., 0] / noise_var, 1e-6))
 
     return OFDMDemodResult(soft_bits=soft, snr_db=snr_db, noise_var=noise_var,
-                           fading_index=fading, channel_mag=h_mag)
+                           fading_index=fading, channel_mag=h_mag, symbols=eq)
