@@ -170,6 +170,22 @@ def cmd_gui(args) -> int:
     """
     from ria_tpu.runtime.tui import TuiApp
 
+    if args.attach:
+        from ria_tpu.runtime.tui import AttachedConsole
+
+        host, _, port = args.attach.partition(":")
+        cport = int(port or 8300)
+        con = AttachedConsole(host=host or "127.0.0.1",
+                              command_port=cport, data_port=cport + 1)
+        if args.frames:
+            for _ in range(args.frames):
+                con.step()
+            print("\n".join(con.build_frame()))
+            con.close()
+            return 0
+        con.run_curses()  # pragma: no cover - terminal
+        return 0
+
     sim_channel = None
     if args.sim:
         from ria_tpu.sim import PRESETS
@@ -248,6 +264,9 @@ def main(argv=None) -> int:
                      choices=["loopback", "device"])
     gui.add_argument("--frames", type=int, default=0,
                      help="headless: step N blocks, print one frame, exit")
+    gui.add_argument("--attach", default=None, metavar="HOST:PORT",
+                     help="attach to a running modem's host interface "
+                          "(command port; data = port+1)")
     gui.set_defaults(fn=cmd_gui)
 
     info = sub.add_parser("info", help="print modem configuration")

@@ -388,6 +388,25 @@ class HostInterface:
             return "OK"
         if cmd == "VERSION":
             return f"VERSION ria_tpu {__version__}"
+        if cmd == "STATUS":
+            # One-line modem status for dashboards (reference status queries,
+            # command_parser.hpp; consumed by `ria gui --attach`).
+            conn = self.engine.conn
+            link = conn.link
+            st = self.station
+            fields = [
+                f"state={self.engine.state.name}",
+                f"remote={conn.remote_call or '-'}",
+                f"wf={link.waveform.name}", f"mod={link.modulation}",
+                f"rate={link.rate}",
+                f"snr={conn.measured_snr_db:.1f}",
+                f"fading={conn.measured_fading:.2f}",
+            ]
+            if st is not None:
+                fields += [f"rx={st.stats.frames_rx}", f"tx={st.stats.frames_tx}",
+                           f"fail={st.stats.decode_failures}",
+                           f"buf={st.buffer_fill_percent:.1f}"]
+            return "STATUS " + " ".join(fields)
         if cmd == "STATE":
             return f"STATE {self.engine.state.name}"
         if cmd in ("BUSY", "BUSYSTATE"):

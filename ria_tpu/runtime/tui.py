@@ -238,31 +238,153 @@ class TuiApp:
         out.append("> " + self.state.input_line)
         return out[:height]
 
-    # ------------------------------------------------------------- curses
     def run_curses(self, fps: float = 5.0):  # pragma: no cover - terminal
-        import curses
+        _curses_loop(self, fps=fps)
 
-        def loop(scr):
-            curses.curs_set(1)
-            scr.nodelay(True)
-            while self.state.running:
-                t0 = time.monotonic()
-                self.step()
-                h, w = scr.getmaxyx()
-                frame = self.build_frame(width=max(60, w - 1),
-                                         height=max(20, h - 1))
-                scr.erase()
-                for i, line in enumerate(frame[: h - 1]):
-                    scr.addnstr(i, 0, line, w - 1)
-                scr.refresh()
-                while True:
-                    try:
-                        ch = scr.get_wch()
-                    except curses.error:
-                        break
-                    self.handle_key(ch if isinstance(ch, str) else "")
-                dt = 1.0 / fps - (time.monotonic() - t0)
-                if dt > 0:
-                    time.sleep(dt)
 
-        curses.wrapper(loop)
+def _curses_loop(app, fps: float = 5.0):  # pragma: no cover - terminal
+    """Shared curses driver: step -> render -> keys, for TuiApp and
+    AttachedConsole (both expose step/build_frame/handle_key/state)."""
+    import curses
+
+    def loop(scr):
+        curses.curs_set(1)
+        scr.nodelay(True)
+        while app.state.running:
+            t0 = time.monotonic()
+            app.step()
+            h, w = scr.getmaxyx()
+            frame = app.build_frame(width=max(60, w - 1), height=max(16, h - 1))
+            scr.erase()
+            for i, line in enumerate(frame[: h - 1]):
+                scr.addnstr(i, 0, line, w - 1)
+            scr.refresh()
+            while True:
+                try:
+                    ch = scr.get_wch()
+                except curses.error:
+                    break
+                app.handle_key(ch if isinstance(ch, str) else "")
+            dt = 1.0 / fps - (time.monotonic() - t0)
+            if dt > 0:
+                time.sleep(dt)
+
+    curses.wrapper(loop)
+
+
+class AttachedConsole:
+    """Dashboard attached to a RUNNING modem over the TCP host interface.
+
+    Speaks the command port's line protocol (runtime/host_interface.py):
+    polls STATUS, receives async event lines (CONNECTED/DATA-RX/...), and
+    sends payload bytes through the data port — the reference's external-
+    app workflow (RIACodex companion) with the GUI's console on top.  No
+    waterfall/constellation: those need the sample stream, which stays in
+    the modem process (same split as the reference's TCP surface).
+    """
+
+    def __init__(self, host: str = "127.0.0.1", command_port: int = 8300,
+                 data_port: int = 8301):
+        import socket
+
+        self.state = TuiState()
+        self.cmd = socket.create_connection((host, command_port), timeout=5.0)
+        self.cmd.setblocking(False)
+        self.data = socket.create_connection((host, data_port), timeout=5.0)
+        self.data.setblocking(False)
+        self._cmd_buf = b""
+        self.status: dict = {}
+        self.peer = ""
+
+    def _log(self, direction: str, text):
+        self.state.messages.append((direction, str(text)))
+        del self.state.messages[:-200]
+
+    def send_command(self, line: str):
+        self.cmd.sendall(line.encode() + b"\r")
+
+    def connect(self, callsign: str):
+        self.peer = callsign
+        self.send_command(f"CONNECT {callsign}")
+
+    def disconnect(self):
+        self.send_command("DISCONNECT")
+
+    def send_message(self, text: str):
+        if text:
+            self.data.sendall(text.encode())
+            self._log("tx", text)
+
+    def handle_key(self, ch: str):
+        st = self.state
+        if st.input_line or ch not in ("d", "q", "s"):
+            if ch == "\n":
+                self.send_message(st.input_line)
+                st.input_line = ""
+            elif ch in ("\x7f", "\b"):
+                st.input_line = st.input_line[:-1]
+            elif ch.isprintable():
+                st.input_line += ch
+            return
+        if ch == "d":
+            self.disconnect()
+        elif ch == "s":
+            self.send_command("STATUS")
+        elif ch == "q":
+            st.running = False
+
+    def step(self):
+        """Drain sockets, request fresh status."""
+        import socket
+
+        try:
+            while True:
+                chunk = self.cmd.recv(4096)
+                if not chunk:
+                    break
+                self._cmd_buf += chunk
+        except (BlockingIOError, socket.timeout):
+            pass
+        while b"\r" in self._cmd_buf or b"\n" in self._cmd_buf:
+            nl = min(i for i in (self._cmd_buf.find(b"\r"), self._cmd_buf.find(b"\n"))
+                     if i >= 0)
+            line, self._cmd_buf = (self._cmd_buf[:nl].decode("utf-8", "replace"),
+                                   self._cmd_buf[nl + 1:])
+            if not line:
+                continue
+            if line.startswith("STATUS "):
+                self.status = dict(kv.split("=", 1) for kv in line[7:].split()
+                                   if "=" in kv)
+            elif line not in ("OK", "PENDING"):
+                self._log("evt", line)
+        try:
+            rx = self.data.recv(65536)
+            if rx:
+                self._log("rx", rx.decode("utf-8", "replace"))
+        except (BlockingIOError, socket.timeout):
+            pass
+        self.send_command("STATUS")
+
+    def build_frame(self, width: int = 80, height: int = 24) -> list[str]:
+        s = self.status
+        out = [f"ria_tpu attached console — {s.get('state', '?')}"
+               f"  (d)isconnect (s)tatus (q)uit"]
+        out.append("-" * width)
+        out.append(f"remote {s.get('remote', '-')}  link {s.get('wf', '?')}/"
+                   f"{s.get('mod', '?')}/{s.get('rate', '?')}")
+        out.append(f"snr {s.get('snr', '?')} dB  fading {s.get('fading', '?')}  "
+                   f"rx {s.get('rx', '?')} tx {s.get('tx', '?')} "
+                   f"fail {s.get('fail', '?')} buf {s.get('buf', '?')}%")
+        out.append("-" * width)
+        for d, m in self.state.messages[-(height - len(out) - 2):]:
+            out.append(f"[{d}] {m}")
+        out.append("-" * width)
+        out.append("> " + self.state.input_line)
+        return out[:height]
+
+    def close(self):
+        self.cmd.close()
+        self.data.close()
+
+    def run_curses(self, fps: float = 4.0):  # pragma: no cover - terminal
+        _curses_loop(self, fps=fps)

@@ -59,3 +59,33 @@ def test_cli_gui_headless(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "operator console" in out
+
+
+def test_attached_console_over_host_interface():
+    """`ria gui --attach`: dashboard driving a RUNNING modem through the
+    TCP host interface — STATUS polling, command keys, data-port TX."""
+    from ria_tpu.protocol.engine import ProtocolEngine
+    from ria_tpu.runtime.host_interface import HostInterface
+    from ria_tpu.runtime.tui import AttachedConsole
+
+    engine = ProtocolEngine()
+    hi = HostInterface(engine, command_port=0, data_port=0, kiss_port=0,
+                       backend="python")
+    try:
+        con = AttachedConsole(command_port=hi.cmd_srv.port,
+                              data_port=hi.data_srv.port)
+        for _ in range(20):
+            hi.poll(0.02)
+            con.step()
+            if con.status:
+                break
+        assert con.status.get("state") == "DISCONNECTED"
+        frame = "\n".join(con.build_frame())
+        assert "attached console" in frame and "DISCONNECTED" in frame
+        # keyed disconnect command reaches the engine (OK reply swallowed)
+        con.handle_key("s")
+        hi.poll(0.05)
+        con.step()
+        con.close()
+    finally:
+        hi.close()
