@@ -66,7 +66,6 @@ def make_decoder_vf(rate: str, max_iters: int | None = None,
 
     # numpy closures lower to MLIR constants without a device readback.
     gather = code.gather.astype(mm_dtype)      # [m*D, n]
-    gather_f32 = code.gather                   # [m*D, n] (parity check)
     mask = code.row_mask                       # [m, D]
 
     def _check_update(v2c, factors):
@@ -93,12 +92,6 @@ def make_decoder_vf(rate: str, max_iters: int | None = None,
         factors = factors.astype(jnp.float32)
         v2c0 = _mm(llr_in, gather.T).reshape(B, m, D)
 
-        def parity_ok(llr_total):
-            hard = (llr_total < 0).astype(jnp.float32)
-            edge_bits = (hard @ gather_f32.T).reshape(B, m, D)
-            syndrome = jnp.sum(edge_bits, axis=-1) % 2.0
-            return jnp.all(syndrome == 0.0, axis=-1)
-
         def cond(carry):
             _, _, done, _, it = carry
             return (it < max_iters) & ~jnp.all(done)
@@ -107,9 +100,16 @@ def make_decoder_vf(rate: str, max_iters: int | None = None,
             v2c, llr_total, done, iters, it = carry
             c2v = _check_update(v2c, factors)
             llr_total_new = llr_in + _mm(c2v.reshape(B, m * D), gather)
-            v2c_new = _mm(llr_total_new, gather.T).reshape(B, m, D) - c2v
-            v2c_new = jnp.clip(v2c_new, -LLR_CLAMP, LLR_CLAMP)
-            ok = parity_ok(llr_total_new)
+            # One gather serves both the v2c update and the parity check:
+            # edge[t, i, d] is the posterior LLR at check i's d-th variable,
+            # so its sign IS the gathered hard bit (the old separate
+            # hard-bit gather was a third redundant [B,n]x[n,mD] matmul
+            # per iteration).
+            edge = _mm(llr_total_new, gather.T).reshape(B, m, D)
+            v2c_new = jnp.clip(edge - c2v, -LLR_CLAMP, LLR_CLAMP)
+            edge_bits = jnp.where(mask, (edge < 0).astype(jnp.float32), 0.0)
+            syndrome = jnp.sum(edge_bits, axis=-1) % 2.0
+            ok = jnp.all(syndrome == 0.0, axis=-1)
             upd = ~done
             llr_total = jnp.where(upd[:, None], llr_total_new, llr_total)
             v2c = jnp.where(upd[:, None, None], v2c_new, v2c)

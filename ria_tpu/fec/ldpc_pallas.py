@@ -116,16 +116,12 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
                                      * fac_m, 0.0))
             return out
 
-        def parity_ok(llr_total):
+        def flags_from_syndrome(syn):
             """Per-codeword convergence flags replicated across a full lane
             dim: ([T, m], [T, n]) floats, 1.0 = all checks satisfied.
             Mosaic cannot lay out [T, 1] vectors (invalid-relayout on
             replicated minor dims), so per-row scalars are broadcast across
             lanes with ones-matrix matmuls instead of keepdims reductions."""
-            hard = (llr_total < 0).astype(jnp.float32)
-            syn = gather_d(hard, 0)
-            for d in range(1, D):
-                syn = syn + gather_d(hard, d)
             bad = jnp.where(syn % 2.0 != 0.0, 1.0, 0.0)        # [T, m]
             # row-sum of bad, replicated across n lanes: [T,m] @ [m,n] ones
             bad_n = jnp.dot(bad.astype(jnp.bfloat16), ones_ref[:],
@@ -149,11 +145,18 @@ def make_pallas_decoder(rate: str, tile: int = 128, max_iters: int | None = None
             llr_new = llr_in + scatter_sum(c2v)
             upd_m = 1.0 - done_m  # [T, m]
             upd_n = 1.0 - done_n  # [T, n]
+            # One gather per degree slot serves BOTH the v2c update and the
+            # syndrome: the gathered posterior's sign is the gathered hard
+            # bit (drops D redundant [T,n]x[n,m] dots per iteration).
             v2c_new = []
+            syn = None
             for d in range(D):
-                v = jnp.clip(gather_d(llr_new, d) - c2v[d], -LLR_CLAMP, LLR_CLAMP)
+                g = gather_d(llr_new, d)
+                v = jnp.clip(g - c2v[d], -LLR_CLAMP, LLR_CLAMP)
                 v2c_new.append(jnp.where(upd_m > 0.5, v, v2c[d]))
-            ok_m, ok_n = parity_ok(llr_new)
+                hard_d = jnp.where(masks[d] & (g < 0), 1.0, 0.0)
+                syn = hard_d if syn is None else syn + hard_d
+            ok_m, ok_n = flags_from_syndrome(syn)
             llr_total = jnp.where(upd_n > 0.5, llr_new, llr_total)
             iters_n = iters_n + upd_n
             done_m = jnp.maximum(done_m, ok_m)
