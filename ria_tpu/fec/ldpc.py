@@ -66,6 +66,7 @@ def make_decoder_vf(rate: str, max_iters: int | None = None,
 
     # numpy closures lower to MLIR constants without a device readback.
     gather = code.gather.astype(mm_dtype)      # [m*D, n]
+    gather_f32 = code.gather.astype(np.float32)  # bf16 parity check (below)
     mask = code.row_mask                       # [m, D]
 
     def _check_update(v2c, factors):
@@ -107,7 +108,17 @@ def make_decoder_vf(rate: str, max_iters: int | None = None,
             # per iteration).
             edge = _mm(llr_total_new, gather.T).reshape(B, m, D)
             v2c_new = jnp.clip(edge - c2v, -LLR_CLAMP, LLR_CLAMP)
-            edge_bits = jnp.where(mask, (edge < 0).astype(jnp.float32), 0.0)
+            if precision == "bf16":
+                # An LLR that rounds to ±0 in bf16 can flip sign vs the f32
+                # llr_total the caller's hard bits come from, declaring a
+                # failing codeword converged.  Gather the f32 hard bits
+                # directly so `done` always reflects the returned bits.
+                hard = (llr_total_new < 0).astype(jnp.float32)
+                ebits = jnp.dot(hard, gather_f32.T,
+                                preferred_element_type=jnp.float32)
+                edge_bits = jnp.where(mask, ebits.reshape(B, m, D), 0.0)
+            else:
+                edge_bits = jnp.where(mask, (edge < 0).astype(jnp.float32), 0.0)
             syndrome = jnp.sum(edge_bits, axis=-1) % 2.0
             ok = jnp.all(syndrome == 0.0, axis=-1)
             upd = ~done

@@ -211,7 +211,8 @@ class Station:
             from ria_tpu.wave.api import OFDMChirpWaveform
 
             link = self.conn.link
-            if (link.burst_group >= 2 and isinstance(wf, OFDMChirpWaveform)
+            if (link.burst_group >= 2 and link.burst_tx_confirmed
+                    and isinstance(wf, OFDMChirpWaveform)
                     and len(frame_bytes) >= 3 and 0x30 <= frame_bytes[2] <= 0x33):
                 # Collect data frames into a burst group; a full group rides
                 # ONE light preamble with burst-interleaved coded bytes.
@@ -500,35 +501,55 @@ class Station:
                 return  # wait for the whole burst span
             if self._noise_floor is not None:
                 wf._noise_floor = self._noise_floor
-            res = wf.rx_burst(self.rx_buffer, group, sync=sync)
-            self._consume(start + wf.burst_samples(group))
+            # Decode from a buffer snapshot and defer consumption until we
+            # know whether this was a real burst: trimming first would leave
+            # `start` indexing past the frame for the false-positive
+            # fallback below, and over-consume into the next preamble.
+            buf = self.rx_buffer
+            res = wf.rx_burst(buf, group, sync=sync)
             if res is None:
                 self.stats.decode_failures += 1
+                self._consume(start + wf.burst_samples(group))
                 return
             frames, snr = res
             nf = getattr(wf, "_noise_floor", None)
             if nf is not None and nf > 0.0:
                 self._noise_floor = nf
             any_ok = False
+            delivered = []
             for okf, fb in frames:
                 if okf and fb is not None:
                     if not any_ok:
                         self.stats.bursts_rx += 1
                     any_ok = True
+                    delivered.append(fb)
+                else:
+                    self.stats.decode_failures += 1
+            if any_ok:
+                # Receiving a burst proves the peer speaks the burst
+                # extension — the responder may now burst-TX too (see
+                # LinkMode.burst_tx_confirmed interop note).
+                self.conn.link.burst_tx_confirmed = True
+                self._consume(start + wf.burst_samples(group))
+                for fb in delivered:
                     self.stats.frames_rx += 1
                     self.conn.measured_snr_db = snr
                     self.conn.on_frame_received(fb)
-                else:
-                    self.stats.decode_failures += 1
-            if not any_ok:
-                # Possible marker false-positive (a normal frame whose first
-                # data symbol correlated like a 3rd LTS): try the
-                # single-frame decode at the same sync before giving up.
-                rx = wf._rx_at(self.rx_buffer, start, sync["cfo_hz"])
-                if rx.ok:
-                    self.stats.frames_rx += 1
-                    self.conn.measured_snr_db = rx.snr_db
-                    self.conn.on_frame_received(rx.frame_bytes)
+                return
+            # Possible marker false-positive (a normal frame whose first
+            # data symbol correlated like a 3rd LTS): try the single-frame
+            # decode at the same sync before giving up, and consume only
+            # the single-frame span when it succeeds.
+            rx = wf._rx_at(buf, start, sync["cfo_hz"])
+            if rx.ok:
+                ncw = 1 if rx.header["is_control"] else max(1, int(rx.header["total_cw"]))
+                self._consume(start + self._frame_body_samples(
+                    wf, ncw, rx.header["is_control"]))
+                self.stats.frames_rx += 1
+                self.conn.measured_snr_db = rx.snr_db
+                self.conn.on_frame_received(rx.frame_bytes)
+            else:
+                self._consume(start + wf.burst_samples(group))
             return
 
         # PING/PONG discrimination on acquisition-preamble signals (once).

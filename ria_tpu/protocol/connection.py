@@ -62,6 +62,18 @@ class LinkMode:
     # feature bit 0 of the CONNECT_ACK SNR byte (the reference packs feature
     # bits there too, frame_v2.hpp:248-285).
     burst_group: int = 0
+    # Interop safety latch: the reference defines CONNECT bit 0x80 as
+    # MC_DPSK_CHANNEL_INTERLEAVE and ACK SNR bit0 as its confirmation
+    # (frame_v2.hpp:38-56, 248-256), so a reference peer can legitimately
+    # emit either bit.  The initiator's reading of ACK bit0 is unambiguous —
+    # the reference only ever sets it when the negotiated waveform is
+    # MC_DPSK (connection_handlers.cpp:184-187), never with OFDM_CHIRP —
+    # but the responder's reading of CONNECT 0x80 is not.  So the responder
+    # accepts burst RX immediately but transmits bursts only after this
+    # latch flips: on the initiator it is set by the unambiguous ACK, on
+    # the responder by the first burst actually received from the peer
+    # (proof the peer speaks the burst extension).
+    burst_tx_confirmed: bool = False
 
 
 @dataclass
@@ -563,6 +575,12 @@ class Connection:
         feature_bits = 0
         if (self.config.burst_group >= 2 and (req.mode_capabilities & 0x80)
                 and link.waveform == WaveformMode.OFDM_CHIRP):
+            # CONNECT 0x80 is ambiguous (reference: MC-DPSK channel
+            # interleave capability), so the responder only arms burst RX
+            # here; burst TX waits for the burst_tx_confirmed latch (see
+            # LinkMode) to avoid sending bursts a reference peer cannot
+            # decode.  A reference peer ignores our ACK bit0 on OFDM_CHIRP
+            # links (it gates on negotiated MC_DPSK), so setting it is safe.
             link.burst_group = 4
             feature_bits |= 0x01
         ack = ConnectFrame(
@@ -587,7 +605,11 @@ class Connection:
             rate=RATE_NAME.get(ack.initial_code_rate, "R1_4"))
         if ((ack.measured_snr & 0x01) and self.config.burst_group >= 2
                 and link.waveform == WaveformMode.OFDM_CHIRP):
+            # bit0 + OFDM_CHIRP cannot come from a reference peer (it only
+            # sets bit0 for negotiated MC_DPSK, connection_handlers.cpp:184),
+            # so the initiator may burst-TX immediately.
             link.burst_group = 4
+            link.burst_tx_confirmed = True
         if link.waveform == WaveformMode.MC_DPSK:
             _, _, link.spreading = recommend_data_mode(
                 decode_snr(ack.measured_snr & ~0x03), link.waveform)
