@@ -91,6 +91,32 @@ def frame_deinterleave(soft: np.ndarray) -> np.ndarray:
     return out.reshape(soft.shape[:-1] + (FRAME_CODEWORDS, BLOCK_BITS))
 
 
+@functools.lru_cache(maxsize=None)
+def stripe_perm(num_cw: int) -> np.ndarray:
+    """FrameInterleaver generalized to N codewords (perm[orig] = interleaved):
+    interleaved_idx = bit*N + (cw + bit) % N.  A contiguous fade of S coded
+    bits on air costs every codeword only ~S/N bits (reference
+    frame_interleaver.cpp:14-48 rationale, N=4 there)."""
+    perm = np.zeros(num_cw * BLOCK_BITS, dtype=np.int64)
+    for cw in range(num_cw):
+        for bit in range(BLOCK_BITS):
+            perm[cw * BLOCK_BITS + bit] = bit * num_cw + (cw + bit) % num_cw
+    return perm
+
+
+def stripe_interleave(cw_bits: np.ndarray) -> np.ndarray:
+    """[..., N, 648] coded bits -> [..., N*648] striped on-air bits."""
+    n = cw_bits.shape[-2]
+    flat = cw_bits.reshape(cw_bits.shape[:-2] + (n * BLOCK_BITS,))
+    return apply_perm(flat, stripe_perm(n))
+
+
+def stripe_deinterleave(soft: np.ndarray, num_cw: int) -> np.ndarray:
+    """[..., N*648] soft bits -> [..., N, 648] per-codeword soft bits."""
+    out = apply_perm(soft, stripe_perm(num_cw), inverse=True)
+    return out.reshape(soft.shape[:-1] + (num_cw, BLOCK_BITS))
+
+
 BURST_BYTES_PER_FRAME = 324  # 4 CWs x 81 bytes
 
 

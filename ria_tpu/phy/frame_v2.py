@@ -519,6 +519,122 @@ def fixed_frame_payload_capacity(rate: str) -> int:
     return FRAME_CODEWORDS * bytes_per_codeword(rate) - DataFrame.HEADER_SIZE - DataFrame.CRC_SIZE
 
 
+# ---------------------------------------------------------------- bursts
+#
+# Stream-packed burst groups (protocol extension; negotiated, see
+# protocol/connection.py burst notes).  The reference's burst mode
+# (encodeBurstLight + BurstInterleaver, burst_interleaver.hpp:10-31) sends
+# `group` complete fixed frames — each carrying the full 17 B header +
+# CRC16 — under one light preamble.  Here the group is packed into ONE
+# byte stream: frame 0 keeps its full serialized form (so a standalone
+# decoder fast path and the burst path share CW0 header semantics), and
+# every following frame is compressed to a fixed-size record that drops
+# the bytes shared across a connection (magic, src/dst hashes, total_cw,
+# header CRC — all reconstructed from frame 0).  The stream is split into
+# ceil(len/bpc) codewords and striped across the whole burst
+# (interleave.stripe_perm), so a fade of S coded bits costs every CW only
+# ~S/ncw bits — the same protection the reference's per-frame byte spread
+# provides, with strictly less air time.
+#
+# Record: [type 1][flags 1][seq 2 BE][plen 1][crc16 2 BE][payload, padded
+# to fixed_frame_payload_capacity].  `crc` is the original frame's
+# trailing CRC16; reconstruction re-derives every other byte, so
+# DataFrame.deserialize on the rebuilt frame validates end-to-end
+# integrity exactly as a standalone frame would.  Any frame can still be
+# retransmitted standalone (records carry at most the standard fixed-frame
+# payload), so ARQ is format-agnostic.
+
+BURST_RECORD_OVERHEAD = 7  # type + flags + seq(2) + plen + crc16(2)
+
+
+def burst_record_size(rate: str) -> int:
+    return BURST_RECORD_OVERHEAD + fixed_frame_payload_capacity(rate)
+
+
+def burst_stream_bytes(group: int, rate: str) -> int:
+    return 4 * bytes_per_codeword(rate) + (group - 1) * burst_record_size(rate)
+
+
+def burst_stream_codewords(group: int, rate: str) -> int:
+    bpc = bytes_per_codeword(rate)
+    return -(-burst_stream_bytes(group, rate) // bpc)
+
+
+def build_burst_stream(frames: list[bytes], rate: str) -> bytes | None:
+    """Serialized frames -> packed burst byte stream, or None when a frame
+    is not compressible against frame 0 (different src/dst/total_cw, too
+    long, or not a data frame) — the caller then falls back to standalone
+    TX."""
+    bpc = bytes_per_codeword(rate)
+    cap = fixed_frame_payload_capacity(rate)
+    f0 = frames[0]
+    if len(f0) > 4 * bpc or parse_header(f0[:17]) is None:
+        return None
+    out = bytearray(f0.ljust(4 * bpc, b"\x00"))
+    shared = f0[6:13]  # src3 + dst3 + total_cw
+    for fb in frames[1:]:
+        h = parse_header(fb[:17]) if len(fb) >= 19 else None
+        if (h is None or h["is_control"] or fb[6:13] != shared
+                or h["payload_len"] > min(cap, 255)
+                or len(fb) != DataFrame.HEADER_SIZE + h["payload_len"] + 2):
+            return None
+        plen = h["payload_len"]
+        rec = bytearray(burst_record_size(rate))
+        rec[0] = fb[2]          # type
+        rec[1] = fb[3]          # flags
+        rec[2:4] = fb[4:6]      # seq
+        rec[4] = plen
+        rec[5:7] = fb[-2:]      # original trailing CRC16
+        rec[7 : 7 + plen] = fb[17 : 17 + plen]
+        out += rec
+    return bytes(out)
+
+
+def parse_burst_stream(stream: bytes, cw_ok: np.ndarray, group: int,
+                       rate: str) -> list[tuple[bool, bytes | None]]:
+    """Packed stream + per-CW decode flags -> [(ok, frame_bytes)] per
+    logical frame.  A frame is delivered only when every codeword covering
+    its span decoded AND the reconstructed frame passes its CRC16."""
+    bpc = bytes_per_codeword(rate)
+    cap = fixed_frame_payload_capacity(rate)
+    cw_ok = np.asarray(cw_ok, bool)
+
+    def span_ok(start: int, end: int) -> bool:
+        lo, hi = start // bpc, (end - 1) // bpc
+        return bool(cw_ok[lo : hi + 1].all())
+
+    out: list[tuple[bool, bytes | None]] = []
+    f0_span = 4 * bpc
+    h0 = parse_header(stream[:17]) if span_ok(0, f0_span) else None
+    f0 = None
+    if h0 is not None and not h0["is_control"]:
+        want = DataFrame.HEADER_SIZE + h0["payload_len"] + DataFrame.CRC_SIZE
+        if want <= f0_span and DataFrame.deserialize(stream[:want]) is not None:
+            f0 = stream[:want]
+    out.append((f0 is not None, f0))
+    rec_size = burst_record_size(rate)
+    for i in range(1, group):
+        start = f0_span + (i - 1) * rec_size
+        rec = stream[start : start + rec_size]
+        fb = None
+        if h0 is not None and span_ok(start, start + rec_size) and len(rec) == rec_size:
+            plen = rec[4]
+            if plen <= cap:
+                hdr = bytearray(17)
+                hdr[0:2] = MAGIC_V2.to_bytes(2, "big")
+                hdr[2] = rec[0]
+                hdr[3] = rec[1]
+                hdr[4:6] = rec[2:4]
+                hdr[6:13] = stream[6:13]  # src/dst/total_cw from frame 0
+                hdr[13:15] = plen.to_bytes(2, "big")
+                hdr[15:17] = crc16(bytes(hdr[:15])).to_bytes(2, "big")
+                cand = bytes(hdr) + rec[7 : 7 + plen] + rec[5:7]
+                if DataFrame.deserialize(cand) is not None:
+                    fb = cand
+        out.append((fb is not None, fb))
+    return out
+
+
 def make_fixed_data_frame(src: str, dst: str, seq: int, payload: bytes, rate: str,
                           flags_extra: int = 0) -> DataFrame:
     cap = fixed_frame_payload_capacity(rate)

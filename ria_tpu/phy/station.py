@@ -208,11 +208,10 @@ class Station:
         else:
             self._verify_config_match()
             wf, light = self.data_wf, True
-            from ria_tpu.wave.api import OFDMChirpWaveform
 
             link = self.conn.link
             if (link.burst_group >= 2 and link.burst_tx_confirmed
-                    and isinstance(wf, OFDMChirpWaveform)
+                    and hasattr(wf, "tx_burst")
                     and len(frame_bytes) >= 3 and 0x30 <= frame_bytes[2] <= 0x33):
                 # Collect data frames into a burst group; a full group rides
                 # ONE light preamble with burst-interleaved coded bytes.
@@ -261,15 +260,17 @@ class Station:
             return
         group = self.conn.link.burst_group
         if len(frames) == group:
-            samples = np.asarray(self.data_wf.tx_burst(frames), np.float32)
-            self._enqueue_tx(samples)
-            air_ms = len(samples) / 48.0
-            for fb in frames:
-                # every frame in the burst completes when the burst does
-                self.conn.notify_tx_air_ms(fb, air_ms)
-            self.stats.frames_tx += len(frames)
-            self.stats.bursts_tx += 1
-            return
+            burst = self.data_wf.tx_burst(frames)
+            if burst is not None:
+                samples = np.asarray(burst, np.float32)
+                self._enqueue_tx(samples)
+                air_ms = len(samples) / 48.0
+                for fb in frames:
+                    # every frame in the burst completes when the burst does
+                    self.conn.notify_tx_air_ms(fb, air_ms)
+                self.stats.frames_tx += len(frames)
+                self.stats.bursts_tx += 1
+                return
         for fb in frames:  # partial group: normal light frames
             samples = np.asarray(self.data_wf.tx_frame(fb, light=True), np.float32)
             self._enqueue_tx(samples)

@@ -49,6 +49,22 @@ class ConnectionState(enum.Enum):
     DISCONNECTING = 4
 
 
+def burst_group_for_snr(snr_db: float) -> int:
+    """Burst group size from the link SNR (both ends derive it from the
+    same encoded SNR byte, so no extra negotiation field is needed).
+    Bigger groups amortize the light preamble and the stream padding over
+    more frames but put more payload at risk per fade; the reference caps
+    its groups at 8 (burst_interleaver.hpp:10-31) — the 16 rung is our
+    extension for stable high-SNR channels, where the measured fade risk
+    is negligible and the R3/4 rows need the extra amortization to beat
+    the reference's published bps (docs/PARITY.md §6)."""
+    if snr_db >= 17.0:
+        return 16
+    if snr_db >= 7.0:
+        return 8
+    return 4
+
+
 @dataclass
 class LinkMode:
     waveform: WaveformMode = WaveformMode.MC_DPSK
@@ -441,7 +457,16 @@ class Connection:
         self._keepalive_timer = 0
         mode = (ARQMode.STOP_AND_WAIT if link.waveform == WaveformMode.MC_DPSK
                 else ARQMode.SELECTIVE_REPEAT)
-        self.arq = create_arq(mode, self.config.arq)
+        arq_cfg = self.config.arq
+        if link.burst_group >= 2 and arq_cfg.window_size < link.burst_group:
+            # A burst group only forms when `group` frames are queued at
+            # once; the selective-repeat window must cover at least one
+            # full group or the 4-frame default (reference
+            # arq_interface.hpp:19-28) silently degrades bursts to singles.
+            from dataclasses import replace
+
+            arq_cfg = replace(arq_cfg, window_size=link.burst_group)
+        self.arq = create_arq(mode, arq_cfg)
         self.arq.set_callsigns(self.local_call, self.remote_call)
         self._wire_arq()
         if self.on_mode_changed:
@@ -574,14 +599,18 @@ class Connection:
         link = self._negotiate(req)
         feature_bits = 0
         if (self.config.burst_group >= 2 and (req.mode_capabilities & 0x80)
-                and link.waveform == WaveformMode.OFDM_CHIRP):
+                and link.waveform in (WaveformMode.OFDM_CHIRP,
+                                      WaveformMode.OFDM_COX)):
             # CONNECT 0x80 is ambiguous (reference: MC-DPSK channel
             # interleave capability), so the responder only arms burst RX
             # here; burst TX waits for the burst_tx_confirmed latch (see
             # LinkMode) to avoid sending bursts a reference peer cannot
-            # decode.  A reference peer ignores our ACK bit0 on OFDM_CHIRP
+            # decode.  A reference peer ignores our ACK bit0 on OFDM
             # links (it gates on negotiated MC_DPSK), so setting it is safe.
-            link.burst_group = 4
+            # Both ends derive the group size from the SAME encoded SNR byte
+            # this ACK carries, so no extra signaling is needed.
+            link.burst_group = burst_group_for_snr(
+                decode_snr(encode_snr(self.measured_snr_db) & ~0x03))
             feature_bits |= 0x01
         ack = ConnectFrame(
             type=FrameType.CONNECT_ACK, seq=self._next_ctrl_seq(),
@@ -604,11 +633,15 @@ class Connection:
             modulation=MOD_NAME.get(ack.initial_modulation, "DBPSK"),
             rate=RATE_NAME.get(ack.initial_code_rate, "R1_4"))
         if ((ack.measured_snr & 0x01) and self.config.burst_group >= 2
-                and link.waveform == WaveformMode.OFDM_CHIRP):
-            # bit0 + OFDM_CHIRP cannot come from a reference peer (it only
-            # sets bit0 for negotiated MC_DPSK, connection_handlers.cpp:184),
-            # so the initiator may burst-TX immediately.
-            link.burst_group = 4
+                and link.waveform in (WaveformMode.OFDM_CHIRP,
+                                      WaveformMode.OFDM_COX)):
+            # bit0 + an OFDM waveform cannot come from a reference peer (it
+            # only sets bit0 for negotiated MC_DPSK,
+            # connection_handlers.cpp:184), so the initiator may burst-TX
+            # immediately.  The group is derived from the SAME SNR byte the
+            # responder used, keeping both ends' burst geometry identical.
+            link.burst_group = burst_group_for_snr(
+                decode_snr(ack.measured_snr & ~0x03))
             link.burst_tx_confirmed = True
         if link.waveform == WaveformMode.MC_DPSK:
             _, _, link.spreading = recommend_data_mode(
@@ -623,11 +656,16 @@ class Connection:
                         modulation=MOD_NAME.get(p[0], self.link.modulation),
                         rate=RATE_NAME.get(p[1], self.link.rate),
                         spreading=self.link.spreading,
-                        burst_group=self.link.burst_group)
+                        burst_group=self.link.burst_group,
+                        burst_tx_confirmed=self.link.burst_tx_confirmed)
         if p[5] & 0x80:
             link.waveform = WaveformMode(p[5] & 0x7F)
-        if link.waveform != WaveformMode.OFDM_CHIRP:
+        if link.waveform not in (WaveformMode.OFDM_CHIRP, WaveformMode.OFDM_COX):
             link.burst_group = 0
+        elif link.burst_group >= 2:
+            # Re-derive the group from the peer's reported SNR (same byte
+            # both ends see) so the burst geometry tracks the new mode.
+            link.burst_group = burst_group_for_snr(decode_snr(p[2]))
         if link.waveform == WaveformMode.MC_DPSK:
             # Spreading follows the peer's reported SNR (reference
             # modem_mode.cpp:93-128 derives MC-DPSK DATA spreading from the
@@ -635,10 +673,22 @@ class Connection:
             _, _, link.spreading = recommend_data_mode(
                 decode_snr(p[2]), WaveformMode.MC_DPSK)
         self.link = link
+        self._sync_arq_window()
         ack = ControlFrame.make_ack(self.local_call, self.remote_hash, ctrl.seq)
         self._tx(ack.serialize(), handshake=False)
         if self.on_mode_changed:
             self.on_mode_changed(link)
+
+    def _sync_arq_window(self):
+        """Grow the live ARQ window to cover the negotiated burst group
+        after a MODE_CHANGE (the ARQ itself is not recreated mid-session —
+        in-flight seq state must survive — so only the window is resized)."""
+        if (self.link.burst_group >= 2
+                and self.arq.config.window_size < self.link.burst_group):
+            from dataclasses import replace
+
+            self.arq.config = replace(self.arq.config,
+                                      window_size=self.link.burst_group)
 
     def request_mode_change(self, modulation: str, rate: str, reason: int = 2,
                             waveform: WaveformMode | None = None) -> bool:
@@ -657,11 +707,18 @@ class Connection:
                 decode_snr(encode_snr(self.measured_snr_db)),
                 WaveformMode.MC_DPSK)
         new_wf = waveform or self.link.waveform
+        burst_ok = new_wf in (WaveformMode.OFDM_CHIRP, WaveformMode.OFDM_COX)
+        group = self.link.burst_group
+        if burst_ok and group >= 2:
+            # Mirror the receiver's re-derivation from the same SNR byte.
+            group = burst_group_for_snr(
+                decode_snr(encode_snr(self.measured_snr_db)))
         self.link = LinkMode(waveform=new_wf,
                              modulation=modulation, rate=rate,
                              spreading=spreading,
-                             burst_group=self.link.burst_group
-                             if new_wf == WaveformMode.OFDM_CHIRP else 0)
+                             burst_group=group if burst_ok else 0,
+                             burst_tx_confirmed=self.link.burst_tx_confirmed)
+        self._sync_arq_window()
         if self.on_mode_changed:
             self.on_mode_changed(self.link)
         return True

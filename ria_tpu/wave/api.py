@@ -467,6 +467,59 @@ class _OFDMWaveformBase:
         S = cfg.num_symbols_for_bits(num_codewords * LDPC_BITS)
         return self.preamble_samples() + (2 + S) * cfg.symbol_samples
 
+    # ------------------------------------------------------------- bursts
+    # Stream-packed burst groups under one light preamble (3 LTS = burst
+    # marker): frame 0 full + compressed continuation records, striped
+    # across ceil(stream/bpc) codewords (see frame_v2 burst section).
+    # Shared by the chirp and Schmidl-Cox OFDM waveforms.
+
+    BURST_TRAINING = 3  # LTS repeats marking a burst (see LTSSyncResult.repeats)
+
+    def burst_codewords(self, group: int) -> int:
+        from ria_tpu.phy.frame_v2 import burst_stream_codewords
+
+        return burst_stream_codewords(group, self.rate)
+
+    def burst_samples(self, group: int) -> int:
+        """Samples from the sync point (first LTS) to burst end."""
+        S = self.cfg.num_symbols_for_bits(self.burst_codewords(group) * LDPC_BITS)
+        return (self.BURST_TRAINING + S) * self.cfg.symbol_samples
+
+    def tx_burst(self, frames: list[bytes], tx_cfo_hz: float = 0.0) -> np.ndarray | None:
+        """One light preamble carrying len(frames) stream-packed frames
+        (reference encodeBurstLight, streaming_encoder.cpp:302, with header
+        compression — strictly less air than the reference's per-frame
+        layout).  None when the group is not compressible (caller sends the
+        frames standalone).
+
+        Bursts skip the per-CW channel interleave on purpose: the stripe
+        interleave already spreads every codeword across the full group's
+        symbols, and the channel perm's arithmetic-progression comb sits on
+        the LDPC code's stopping sets under contiguous fades (measured in
+        round 2: 0-2/4 logical frames survive with the perm, 4/4 without)."""
+        bits = _burst_tx_bits(frames, self.rate)
+        if bits is None:
+            return None
+        return ofdm.tx_frame(bits, self.cfg, preamble="lts",
+                             training_count=self.BURST_TRAINING,
+                             tx_cfo_hz=tx_cfo_hz)
+
+    def rx_burst(self, audio: np.ndarray, group: int, sync: dict | None = None):
+        """Returns (list[(ok, frame_bytes)], snr_db) per logical frame, or
+        None when no sync."""
+        if sync is None:
+            sync = self.detect_sync(audio, light=True)
+        if sync is None:
+            return None
+        num_bits = self.burst_codewords(group) * LDPC_BITS
+        soft, res = self._demod(audio, sync["start"], sync["cfo_hz"], self.cfg,
+                                num_bits, training=self.BURST_TRAINING)
+        out = _burst_rx_decode(soft, group, self.rate)
+        self._pre_start = sync["start"]
+        snr = _tracked_snr(self, audio, sync["start"], self.burst_samples(group),
+                           sync["start"])
+        return out, snr
+
     # -------------------------------------------------------------- RX core
     def _demod(self, audio, lts_start, cfo, cfg, num_bits, training: int = 2):
         S = cfg.num_symbols_for_bits(num_bits)
@@ -530,30 +583,56 @@ class _OFDMWaveformBase:
                        cfo_hz=cfo, start_sample=lts_start)
 
 
-def _burst_tx_bits(frames: list[bytes], rate: str, ci_bits: int | None) -> np.ndarray:
-    """Encode N frames and burst-interleave their coded bytes across the
-    N physical frames (reference encodeBurstLight + BurstInterleaver)."""
-    from ria_tpu.fec.interleave import burst_interleave_bytes
-    from ria_tpu.utils.bits import bits_to_bytes, bytes_to_bits
+def _burst_tx_bits(frames: list[bytes], rate: str) -> np.ndarray | None:
+    """Encode N frames as ONE stream-packed burst (frame 0 full + compressed
+    continuation records, frame_v2.build_burst_stream) -> striped coded
+    bits [ncw*648].  None when the group is not compressible (caller falls
+    back to standalone frames)."""
+    from ria_tpu.fec import LDPCCodec
+    from ria_tpu.fec.interleave import stripe_interleave
+    from ria_tpu.phy.frame_v2 import build_burst_stream, burst_stream_codewords
+    from ria_tpu.utils.bits import bytes_to_bits
 
-    coded = []
-    for fb in frames:
-        bits = encode_fixed_frame(fb, rate, ci_bits)
-        coded.append(np.frombuffer(bits_to_bytes(bits), np.uint8))
-    phys = burst_interleave_bytes(np.stack(coded))
-    return np.concatenate([bytes_to_bits(phys[i].tobytes()) for i in range(len(frames))])
+    stream = build_burst_stream(frames, rate)
+    if stream is None:
+        return None
+    from ria_tpu.phy.frame_v2 import bytes_per_codeword
+
+    bpc = bytes_per_codeword(rate)
+    ncw = burst_stream_codewords(len(frames), rate)
+    padded = stream.ljust(ncw * bpc, b"\x00")
+    codec = LDPCCodec(rate)
+    cw_bits = np.stack([bytes_to_bits(codec.encode(padded[i * bpc : (i + 1) * bpc]))[:LDPC_BITS]
+                        for i in range(ncw)])
+    return stripe_interleave(cw_bits)
 
 
-def _burst_rx_decode(soft: np.ndarray, group: int, rate: str, ci_bits: int | None):
-    """[group*2592] physical soft bits -> list of (oks, frame_bytes|None)."""
-    from ria_tpu.fec.interleave import burst_deinterleave_soft
+def _burst_rx_decode(soft: np.ndarray, group: int, rate: str):
+    """[ncw*648] striped soft bits -> list of (ok, frame_bytes|None)."""
+    from ria_tpu.fec.interleave import stripe_deinterleave
+    from ria_tpu.fec.ldpc import decode_with_retries
+    from ria_tpu.phy.frame_v2 import (burst_stream_codewords, bytes_per_codeword,
+                                      parse_burst_stream)
+    from ria_tpu.utils.bits import bits_to_bytes
 
-    logical = burst_deinterleave_soft(soft.reshape(group, 2592))
-    return [decode_fixed_frame(logical[i], rate, ci_bits) for i in range(group)]
+    ncw = burst_stream_codewords(group, rate)
+    cw_soft = stripe_deinterleave(np.asarray(soft[: ncw * LDPC_BITS], np.float32), ncw)
+    result = decode_with_retries(cw_soft, rate)
+    oks = np.asarray(result.success)
+    bpc = bytes_per_codeword(rate)
+    infos = np.asarray(result.info_bits)
+    stream = b"".join(bits_to_bytes(infos[i])[:bpc] for i in range(ncw))
+    return parse_burst_stream(stream, oks, group, rate)
 
 
 class OFDMCoxWaveform(_OFDMWaveformBase):
-    """OFDM with Schmidl-Cox sync ("OFDM-COX", stable/NVIS channels)."""
+    """OFDM with Schmidl-Cox sync ("OFDM-COX", stable/NVIS channels).
+
+    Connected-mode data frames use the same LTS-only light preamble as the
+    chirp waveform (the CFO is already tracked once connected, so the STS
+    autocorrelation stage buys nothing), which also enables stream-packed
+    bursts on the coherent QAM modes — the reference always resends the
+    full Schmidl-Cox preamble per frame (ofdm_cox_waveform.cpp)."""
 
     mode = WaveformMode.OFDM_COX
 
@@ -563,6 +642,9 @@ class OFDMCoxWaveform(_OFDMWaveformBase):
     def tx_frame(self, frame_bytes: bytes, light: bool = False,
                  tx_cfo_hz: float = 0.0) -> np.ndarray:
         bits, cfg, _ = self._encode(frame_bytes)
+        if light:
+            return ofdm.tx_frame(bits, cfg, preamble="lts", training_count=2,
+                                 tx_cfo_hz=tx_cfo_hz)
         return ofdm.tx_frame(bits, cfg, preamble="cox", tx_cfo_hz=tx_cfo_hz)
 
     def search_window(self, light: bool = False) -> int:
@@ -573,7 +655,15 @@ class OFDMCoxWaveform(_OFDMWaveformBase):
         return 4 * self.cfg.symbol_samples + 2048
 
     def detect_sync(self, audio: np.ndarray, light: bool = False):
-        res = ofdm.schmidl_cox_search(jnp.asarray(np.asarray(audio, np.float32)), self.cfg)
+        x = jnp.asarray(np.asarray(audio, np.float32))
+        if light:
+            res = ofdm.lts_search(x, self.cfg)
+            if not bool(res.detected):
+                return None
+            return {"start": int(res.lts_start), "cfo_hz": float(res.cfo_hz),
+                    "corr": float(res.corr), "kind": "lts",
+                    "lts_repeats": int(res.repeats)}
+        res = ofdm.schmidl_cox_search(x, self.cfg)
         if not bool(res.detected):
             return None
         return {"start": int(res.lts_start), "cfo_hz": float(res.cfo_hz),
@@ -582,73 +672,30 @@ class OFDMCoxWaveform(_OFDMWaveformBase):
     def rx_frame(self, audio: np.ndarray, light: bool = False, chase=None,
                  sync: dict | None = None) -> RxFrame:
         if sync is None:
-            sync = self.detect_sync(audio)
+            sync = self.detect_sync(audio, light)
         if sync is None:
             return RxFrame(False, None, None, None, None)
-        self._pre_start = sync["start"] - 2 * self.cfg.symbol_samples  # STS
+        self._pre_start = (sync["start"] if sync.get("kind") == "lts"
+                           else sync["start"] - 2 * self.cfg.symbol_samples)  # STS
         return self._rx_at(audio, sync["start"], sync["cfo_hz"])
 
 
 class OFDMChirpWaveform(_OFDMWaveformBase):
     """OFDM with dual-chirp acquisition + LTS; LTS-only light preamble.
 
-    Burst mode (tx_burst/rx_burst): one light preamble carries `group`
-    frames whose coded bytes are spread across all physical frames, so one
-    lost frame costs each codeword only 1/group of its bits (reference
-    encodeBurstLight / BurstInterleaver).  Burst mode is negotiated by the
-    protocol (explicit group size) rather than signalled by a negated LTS
-    as in the reference — magnitude-based LTS correlation cannot carry the
-    sign, and the negotiated path avoids the ambiguity.
+    Burst mode (tx_burst/rx_burst, shared via _OFDMWaveformBase): one
+    light preamble carries a stream-packed group (see frame_v2 burst
+    section).  Burst mode is negotiated by the protocol (explicit group
+    size) rather than signalled by a negated LTS as in the reference —
+    magnitude-based LTS correlation cannot carry the sign, and the
+    negotiated path avoids the ambiguity.
     """
 
     mode = WaveformMode.OFDM_CHIRP
 
-    BURST_TRAINING = 3  # LTS repeats marking a burst (see LTSSyncResult.repeats)
-
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
         self.chirp_cfg = chirp_sync.ChirpConfig()
-
-    def tx_burst(self, frames: list[bytes], tx_cfo_hz: float = 0.0) -> np.ndarray:
-        """One light preamble (3 LTS = burst marker) carrying len(frames)
-        burst-interleaved fixed frames (reference encodeBurstLight,
-        streaming_encoder.cpp:302).
-
-        Bursts skip the per-CW channel interleave on purpose: losing one
-        whole physical frame erases a contiguous byte run of every logical
-        frame, and the channel perm turns that run into an arithmetic-
-        progression comb inside each codeword that sits on the LDPC code's
-        stopping sets (measured: 0-2/4 logical frames survive with the perm,
-        4/4 without).  The burst+frame interleaves already spread each CW
-        across the full group's symbols, providing the time/frequency
-        diversity the channel perm exists for."""
-        bits = _burst_tx_bits(frames, self.rate, None)
-        return ofdm.tx_frame(bits, self.cfg, preamble="lts",
-                             training_count=self.BURST_TRAINING,
-                             tx_cfo_hz=tx_cfo_hz)
-
-    def burst_samples(self, group: int) -> int:
-        """Samples from the sync point (first LTS) to burst end."""
-        S = self.cfg.num_symbols_for_bits(group * 4 * LDPC_BITS)
-        return (self.BURST_TRAINING + S) * self.cfg.symbol_samples
-
-    def rx_burst(self, audio: np.ndarray, group: int, sync: dict | None = None):
-        """Returns (list[(ok, frame_bytes)], snr_db) per logical frame, or
-        None when no sync."""
-        if sync is None:
-            sync = self.detect_sync(audio, light=True)
-        if sync is None:
-            return None
-        num_bits = group * 4 * LDPC_BITS
-        soft, res = self._demod(audio, sync["start"], sync["cfo_hz"], self.cfg,
-                                num_bits, training=self.BURST_TRAINING)
-        out = []
-        for oks, fb in _burst_rx_decode(soft, group, self.rate, None):
-            out.append((fb is not None and bool(np.asarray(oks).all()), fb))
-        self._pre_start = sync["start"]
-        snr = _tracked_snr(self, audio, sync["start"], self.burst_samples(group),
-                           sync["start"])
-        return out, snr
 
     def preamble_samples(self) -> int:
         return self.chirp_cfg.total_samples

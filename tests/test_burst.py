@@ -1,17 +1,21 @@
-"""Burst-interleave protocol path (reference encodeBurstLight /
+"""Stream-packed burst protocol path (reference encodeBurstLight /
 BURST_ACCUMULATING, streaming_encoder.cpp:302, streaming_decoder.cpp:3065).
 
-One light preamble (3-LTS burst marker) carries a group of 4 fixed frames
-whose coded bytes are spread across all physical frames, so a deep fade
-hitting one physical frame costs each codeword only 1/4 of its bits.
+One light preamble (3-LTS burst marker) carries a group of frames packed
+into one codeword stream (frame 0 full + compressed continuation records,
+frame_v2 burst section) striped across all codewords, so a deep fade
+costs every codeword only fade/ncw of its bits — the reference's
+burst-interleave protection with strictly less air time.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ria_tpu.phy.frame_v2 import WaveformMode, make_fixed_data_frame
-from ria_tpu.protocol.connection import ConnectionConfig, ConnectionState
+from ria_tpu.phy.frame_v2 import (WaveformMode, burst_stream_codewords,
+                                  make_fixed_data_frame)
+from ria_tpu.protocol.connection import (ConnectionConfig, ConnectionState,
+                                         burst_group_for_snr)
 from ria_tpu.sim.simulator import DualStationSim
 from ria_tpu.sim.channel import awgn
 from ria_tpu.wave.api import OFDMChirpWaveform
@@ -49,11 +53,19 @@ def test_burst_waveform_roundtrip_and_marker():
     assert s2 is not None and s2["lts_repeats"] == 2
 
 
-def test_burst_survives_one_lost_physical_frame():
-    """Deep fade wiping one physical frame of the group: every LOGICAL frame
-    still decodes (each codeword lost only 1/4 of its bits).  The same fade
-    on per-frame TX destroys that frame outright — the burst's raison
-    d'etre (reference burst_interleaver.hpp:10-31)."""
+def test_burst_stream_packs_less_air_than_per_frame():
+    """The packed stream must beat the reference's per-frame layout (4 CW
+    per frame) on air time — that is the throughput win being claimed."""
+    for rate, group in (("R1_4", 8), ("R1_2", 8), ("R2_3", 16), ("R3_4", 16)):
+        assert burst_stream_codewords(group, rate) < 4 * group
+
+
+def test_burst_survives_quarter_body_fade():
+    """Deep fade wiping a quarter of the burst body: the stripe interleave
+    spreads the loss so every codeword sees only ~25% erasures and every
+    LOGICAL frame still decodes.  The same fade on per-frame TX destroys
+    the hit frame outright — the burst's raison d'etre (reference
+    burst_interleaver.hpp:10-31)."""
     wf = OFDMChirpWaveform(modulation="DQPSK", rate="R1_2")
     frames = _frames()
     rng = np.random.default_rng(1)
@@ -62,21 +74,20 @@ def test_burst_survives_one_lost_physical_frame():
     audio = np.concatenate([np.zeros(lead, np.float32), tx,
                             np.zeros(4000, np.float32)])
     rms = float(np.sqrt(np.mean(tx**2)))
-    # Wipe ALL of physical frame 2: its bits occupy symbols [2*Sf, 3*Sf) of
-    # the burst body (Sf = symbols per single frame), after the 3 LTS.
-    Sf = wf.cfg.num_symbols_for_bits(4 * 648)
+    ncw = wf.burst_codewords(4)
+    body_syms = wf.cfg.num_symbols_for_bits(ncw * 648)
     sym = wf.cfg.symbol_samples
-    f_start = lead + (3 + 2 * Sf) * sym
-    f_len = Sf * sym
-    audio[f_start : f_start + f_len] = 0.0
+    wipe_syms = body_syms // 4
+    f_start = lead + (3 + 2 * wipe_syms) * sym  # mid-burst span
+    audio[f_start : f_start + wipe_syms * sym] = 0.0
     audio += rng.normal(0, rms * 10 ** (-18 / 20), audio.shape).astype(np.float32)
 
     out, _ = wf.rx_burst(audio, 4)
     assert all(ok for ok, _ in out), [ok for ok, _ in out]
     assert [fb for _, fb in out] == frames
 
-    # Control: the same whole-frame wipe on per-frame TX destroys that frame
-    # outright (nothing left to decode).
+    # Control: the same-length wipe centred on one per-frame TX destroys
+    # that frame outright (nothing left to decode).
     singles = [wf.tx_frame(fb, light=True) for fb in frames]
     a2 = np.concatenate([np.zeros(lead, np.float32)] + singles
                         + [np.zeros(4000, np.float32)])
@@ -87,30 +98,40 @@ def test_burst_survives_one_lost_physical_frame():
     assert not hit.ok  # the faded single frame is unrecoverable
 
 
+def test_burst_group_snr_ladder():
+    assert burst_group_for_snr(5.0) == 4
+    assert burst_group_for_snr(12.0) == 8
+    assert burst_group_for_snr(20.0) == 16
+
+
 def test_burst_session_negotiated_and_delivers():
     """End-to-end: both stations enable burst, CONNECT negotiates it
-    (capability bit + ACK feature bit), a 4-chunk message rides one burst,
-    and delivery is complete."""
-    cfg_a = ConnectionConfig(burst_group=4)
-    cfg_b = ConnectionConfig(burst_group=4)
-    sim = DualStationSim(channel_cfg=awgn(18.0), seed=5, config_a=cfg_a,
+    (capability bit + ACK feature bit + SNR-derived group), an 8-chunk
+    message rides one burst, and delivery is complete."""
+    cfg_a = ConnectionConfig(burst_group=8)
+    cfg_b = ConnectionConfig(burst_group=8)
+    sim = DualStationSim(channel_cfg=awgn(12.0), seed=5, config_a=cfg_a,
                          config_b=cfg_b)
     got = []
     sim.bravo.conn.on_message = got.append
     assert sim.alpha.conn.connect("BRAVO")
     assert sim.run_until(sim.both_connected, max_ticks=300)
     assert sim.alpha.conn.link.waveform == WaveformMode.OFDM_CHIRP
-    assert sim.alpha.conn.link.burst_group == 4
-    assert sim.bravo.conn.link.burst_group == 4
+    assert sim.alpha.conn.link.burst_group == 8
+    assert sim.bravo.conn.link.burst_group == 8
+    assert sim.alpha.conn.link.burst_tx_confirmed  # initiator: from ACK bit0
 
     cap = sim.alpha.conn.message_capacity()
-    msg = bytes(range(256)) * ((4 * cap) // 256 + 1)
-    msg = msg[: 4 * cap - 10]  # fragments into exactly 4 chunks
+    group = sim.alpha.conn.link.burst_group
+    msg = bytes(range(256)) * ((group * cap) // 256 + 1)
+    msg = msg[: group * cap - 10]  # fragments into exactly `group` chunks
     assert sim.alpha.conn.send_message(msg)
-    assert sim.run_until(lambda: got, max_ticks=200)
+    assert sim.run_until(lambda: got, max_ticks=300)
     assert got[0] == msg
     assert sim.alpha.stats.bursts_tx >= 1
     assert sim.bravo.stats.bursts_rx >= 1
+    # responder latch: flips only after a burst is actually received
+    assert sim.bravo.conn.link.burst_tx_confirmed
 
 
 def test_burst_disabled_when_peer_lacks_support():
