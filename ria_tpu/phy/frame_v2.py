@@ -56,6 +56,12 @@ class FrameType(enum.IntEnum):
     DISCONNECT = 0x15
     KEEPALIVE = 0x16
     MODE_CHANGE = 0x17
+    # Extension beyond the reference's wire enum: ACK-gated MC-DPSK profile
+    # upgrade (carriers + mod + rate).  The reference pins in-session
+    # MC-DPSK at 10 carriers / R1/4 (waveform_selection.hpp:255-257) and
+    # silently ignores unknown control types, so a reference peer simply
+    # never ACKs this and the proposer keeps the standard profile.
+    MC_PROFILE = 0x18
     ACK = 0x20
     NACK = 0x21
     DATA = 0x30
@@ -101,8 +107,8 @@ class WaveformMode(enum.IntEnum):
 
 def is_control_frame(t: int) -> bool:
     return t in (FrameType.PROBE, FrameType.PROBE_ACK, FrameType.KEEPALIVE,
-                 FrameType.MODE_CHANGE, FrameType.ACK, FrameType.NACK,
-                 FrameType.DISCONNECT, FrameType.BEACON)
+                 FrameType.MODE_CHANGE, FrameType.MC_PROFILE, FrameType.ACK,
+                 FrameType.NACK, FrameType.DISCONNECT, FrameType.BEACON)
 
 
 def is_data_frame(t: int) -> bool:

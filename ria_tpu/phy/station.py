@@ -130,6 +130,21 @@ class Station:
         self.chase = ChaseCache() if chase_enabled else None
         self.link_adapter = LinkAdapter()
         self._now_ms = 0.0
+        # MC-DPSK profile-ladder state (see _feed_mc_profile).  Median
+        # windows, not EMAs: a single outlier SNR measurement (short
+        # control frames occasionally read 8 dB low) must not crash the
+        # ladder into a spread-4 downgrade.
+        self._mc_snr_win: list[float] = []
+        self._mc_fading_win: list[float] = []
+        self._mc_want: tuple | None = None
+        self._mc_want_hits = 0
+        # Transition dual-RX (see _arm_mc_profile): while armed, ZC-synced
+        # frames that fail the primary profile are retried under the
+        # alternate one, so a lost MC_PROFILE ACK can never deadlock the
+        # link — whichever profile the peer is on, its frames decode.
+        self._mc_alt_wf = None
+        self._mc_alt_is_new = False
+        self._mc_alt_deadline = 0.0
 
         # Observer hook for dashboards (runtime.tui / monitor): called with
         # every successfully decoded RxFrame.
@@ -139,6 +154,7 @@ class Station:
         self.conn.on_ping_tx = self._tx_ping
         self.conn.on_pong_tx = self._tx_ping  # same waveform; context decides
         self.conn.on_mode_changed = self._on_mode_changed
+        self.conn.on_mc_profile_offer = self._arm_mc_profile
 
     # ------------------------------------------------------------------ TX
     def _tx_ping(self):
@@ -281,12 +297,45 @@ class Station:
         self._respond_mfsk = False
         self._respond_spread4 = False
         if link.waveform == WaveformMode.MC_DPSK:
-            wf = MCDPSKWaveform(num_carriers=self.mc_carriers,
+            # A negotiated MC_PROFILE (carriers > 10) wins; otherwise the
+            # station's configured carrier count (operator/TCP override).
+            carriers = (link.mc_carriers if link.mc_carriers != 10
+                        else self.mc_carriers)
+            wf = MCDPSKWaveform(num_carriers=carriers,
                                 modulation=link.modulation, rate=link.rate,
                                 spreading=link.spreading)
+            if (link.mc_carriers != 10
+                    and isinstance(self.data_wf, MCDPSKWaveform)
+                    and self.data_wf.cfg.num_carriers != carriers):
+                # Proposer just applied an upgraded profile: keep the old
+                # waveform armed as the alternate RX hypothesis until the
+                # peer demonstrably switched (its frames decode under the
+                # new profile).
+                self._mc_alt_wf = self.data_wf
+                self._mc_alt_is_new = False
+                self._mc_alt_deadline = self._now_ms + 30_000
         else:
             wf = create_waveform(link.waveform, link.modulation, link.rate)
+            self._mc_alt_wf = None
         self.data_wf = wf
+
+    def _promote_mc_profile(self):
+        """A frame decoded under the armed NEW profile: the proposer is
+        demonstrably transmitting it — adopt it for TX too (peer side of
+        the MC_PROFILE handshake)."""
+        alt = self._mc_alt_wf
+        self._mc_alt_wf, self._mc_alt_is_new = None, False
+        self.conn.adopt_mc_profile(alt.cfg.num_carriers, alt.modulation, alt.rate)
+        self.data_wf = alt
+
+    def _arm_mc_profile(self, carriers: int, modulation: str, rate: str):
+        """Peer side of the MC_PROFILE handshake: arm the offered profile
+        as the alternate RX hypothesis; adopt it (link + TX) only once a
+        frame actually decodes under it (_process_pending promotion)."""
+        self._mc_alt_wf = MCDPSKWaveform(num_carriers=carriers,
+                                         modulation=modulation, rate=rate)
+        self._mc_alt_is_new = True
+        self._mc_alt_deadline = self._now_ms + 30_000
 
     def pull_tx(self, max_samples: int) -> np.ndarray:
         """Drain up to max_samples of queued TX audio (half-duplex block)."""
@@ -641,6 +690,27 @@ class Station:
                         break
                 else:
                     pend["beacon_ruled_out"] = True
+            # MC-profile transition dual-RX (see _arm_mc_profile): a
+            # ZC-synced frame that fails the current profile may be on
+            # the other side of an in-flight MC_PROFILE switch.
+            if (header is None and sync["kind"] == "zc"
+                    and self._mc_alt_wf is not None
+                    and isinstance(wf, MCDPSKWaveform)
+                    and not pend.get("alt_ruled_out")):
+                alt = self._mc_alt_wf
+                if start + self._frame_body_samples(alt, 1) > n:
+                    return  # wait for the alternate profile's CW0 span
+                if self._noise_floor is not None:
+                    alt._noise_floor = self._noise_floor
+                a_hdr = alt.peek_header(self.rx_buffer, start,
+                                        sync["cfo_hz"], light)
+                if a_hdr is not None:
+                    if self._mc_alt_is_new:
+                        self._promote_mc_profile()
+                    pend["wf"] = wf = alt
+                    pend["header"] = header = a_hdr
+                else:
+                    pend["alt_ruled_out"] = True
             if header is None:
                 self.stats.decode_failures += 1
                 self.stats.sync_skips += 1
@@ -698,6 +768,12 @@ class Station:
         if nf is not None and nf > 0.0:
             self._noise_floor = nf
         if rx.ok:
+            if (self._mc_alt_wf is not None and not self._mc_alt_is_new
+                    and wf is self.data_wf and isinstance(wf, MCDPSKWaveform)):
+                # Proposer side: a frame decoded under the NEW (primary)
+                # profile — the peer demonstrably switched; drop the old-
+                # profile hypothesis.
+                self._mc_alt_wf = None
             if not connected and self._is_connect_for_me(rx.header):
                 # Remember which waveform carried the peer's CONNECT so the
                 # replies ride the same one (MFSK / spread-4 reciprocity).
@@ -787,6 +863,9 @@ class Station:
                 or self.conn.config.forced_modulation):
             return
         link = self.conn.link
+        if link.waveform == WaveformMode.MC_DPSK:
+            self._feed_mc_profile(rx, link)
+            return
         decision = self.link_adapter.feed(rx.snr_db, rx.fading_index,
                                           self._now_ms, link.waveform,
                                           link.modulation, link.rate)
@@ -795,6 +874,48 @@ class Station:
         (mod, rate, spreading), is_upgrade, avg_snr, avg_fading = decision
         reason = 0 if is_upgrade else 1  # CHANNEL_IMPROVED / CHANNEL_DEGRADED
         self.conn.request_mode_change(mod, rate, reason=reason)
+
+    def _feed_mc_profile(self, rx, link):
+        """MC-DPSK link adaptation: the generic adapter's table pins the
+        reference's 10-carrier R1/4 profile, so MC-DPSK links run their own
+        ladder here — the ACK-gated MC_PROFILE upgrade when the measured
+        SNR supports it (recommend_mc_profile), the standard MODE_CHANGE
+        path (which also resets carriers to 10) when it no longer does."""
+        from ria_tpu.wave.selection import recommend_data_mode, recommend_mc_profile
+
+        for win, v in ((self._mc_snr_win, rx.snr_db),
+                       (self._mc_fading_win, rx.fading_index)):
+            win.append(float(v))
+            if len(win) > 5:
+                win.pop(0)
+        snr_med = float(np.median(self._mc_snr_win))
+        fading_med = float(np.median(self._mc_fading_win))
+        want = recommend_mc_profile(snr_med, fading_med)
+        cur = (link.mc_carriers, link.modulation, link.rate)
+        if want == cur:
+            self._mc_want, self._mc_want_hits = None, 0
+            return
+        if want == self._mc_want:
+            self._mc_want_hits += 1
+        else:
+            self._mc_want, self._mc_want_hits = want, 1
+        if want is None:
+            # Channel degraded below the upgrade band: fall back fast to
+            # the standard ladder (2-frame confirmation, like the generic
+            # adapter's downgrade path).  2 dB hysteresis: a profile that
+            # just engaged at its threshold must not flap back on the
+            # ~0.3 dB measurement bias of the spectral SNR estimate.
+            if (link.mc_carriers > 10 and self._mc_want_hits >= 2
+                    and recommend_mc_profile(snr_med + 2.0, fading_med) is None):
+                mod, rate, _ = recommend_data_mode(snr_med,
+                                                   WaveformMode.MC_DPSK,
+                                                   fading_med)
+                self.conn.request_mode_change(mod, rate, reason=1)
+                self._mc_want, self._mc_want_hits = None, 0
+            return
+        if self._mc_want_hits >= 4:
+            self.conn.request_mc_profile(*want)
+            self._mc_want, self._mc_want_hits = None, 0
 
     def tick(self, elapsed_ms: int, poll: bool = True):
         """Advance protocol timers; optionally attempt a decode pass.
@@ -816,6 +937,11 @@ class Station:
         # them never completed — a stale flag would otherwise escalate every
         # future handshake to spread-4/MFSK air time forever.
         state = self.conn.state
+        if self._mc_alt_wf is not None and (
+                self._now_ms > self._mc_alt_deadline
+                or state == ConnectionState.DISCONNECTED):
+            self._mc_alt_wf = None
+            self._mc_alt_is_new = False
         if self._respond_mfsk or self._respond_spread4:
             ended = (state == ConnectionState.DISCONNECTED
                      and self._prev_conn_state != ConnectionState.DISCONNECTED)

@@ -60,7 +60,7 @@ def burst_group_for_snr(snr_db: float) -> int:
     the reference's published bps (docs/PARITY.md §6)."""
     if snr_db >= 17.0:
         return 16
-    if snr_db >= 7.0:
+    if snr_db >= 12.0:
         return 8
     return 4
 
@@ -90,6 +90,10 @@ class LinkMode:
     # the responder by the first burst actually received from the peer
     # (proof the peer speaks the burst extension).
     burst_tx_confirmed: bool = False
+    # MC-DPSK carrier count.  The reference pins in-session MC-DPSK to 10
+    # carriers (waveform_selection.hpp:257); >10 is reached only through
+    # the ACK-gated MC_PROFILE upgrade (see request_mc_profile).
+    mc_carriers: int = 10
 
 
 @dataclass
@@ -153,6 +157,9 @@ class Connection:
         self.on_message: Callable[[bytes], None] | None = None
         self.on_message_sent: Callable[[bool], None] | None = None
         self.on_mode_changed: Callable[[LinkMode], None] | None = None
+        # MC_PROFILE offer received: arm (carriers, mod, rate) as a second
+        # RX hypothesis (see _handle_mc_profile).
+        self.on_mc_profile_offer: Callable[[int, str, str], None] | None = None
         self.on_beacon: Callable[[int, bytes], None] | None = None
         self.on_incoming_call: Callable[[str], None] | None = None
         self.on_probe_report = None
@@ -172,6 +179,11 @@ class Connection:
         # this, a send while the previous frame's ACK is still in flight
         # would be dropped).  Entries are (payload_chunk, frag_flags).
         self._tx_msg_queue: list[tuple[bytes, int]] = []
+        # Pending ACK-gated MC-DPSK profile proposal (seq, carriers, mod,
+        # rate) and the per-session proposal budget (a reference peer never
+        # ACKs, so stop offering after a few tries).
+        self._pending_profile: tuple[int, int, str, str] | None = None
+        self._profile_attempts = 0
         # Reliable disconnect handshake (connection.cpp:305-328, :956-1002):
         # initiator retransmits DISCONNECT until ACKed; responder holds a
         # grace period, proactively re-sending the ACK, before dropping.
@@ -455,6 +467,8 @@ class Connection:
         self.link = link
         self.state = ConnectionState.CONNECTED
         self._keepalive_timer = 0
+        self._pending_profile = None
+        self._profile_attempts = 0
         mode = (ARQMode.STOP_AND_WAIT if link.waveform == WaveformMode.MC_DPSK
                 else ARQMode.SELECTIVE_REPEAT)
         arq_cfg = self.config.arq
@@ -531,6 +545,9 @@ class Connection:
             if ctrl.type == FrameType.MODE_CHANGE:
                 self._handle_mode_change(ctrl)
                 return
+            if ctrl.type == FrameType.MC_PROFILE:
+                self._handle_mc_profile(ctrl)
+                return
             if ctrl.type == FrameType.KEEPALIVE:
                 return
             if ctrl.type == FrameType.PROBE:
@@ -565,6 +582,9 @@ class Connection:
                     return
                 if self.state == ConnectionState.DISCONNECTING:
                     return  # stale data ACK while tearing down
+                if (ctrl.type == FrameType.ACK
+                        and self._complete_mc_profile(ctrl.seq)):
+                    return
                 self.arq.on_frame_received(frame_bytes)
                 return
         if df is not None and 0x30 <= int(df.type) <= 0x33:
@@ -689,6 +709,79 @@ class Connection:
 
             self.arq.config = replace(self.arq.config,
                                       window_size=self.link.burst_group)
+
+    # ------------------------------------------------- MC-DPSK profile
+    # ACK-gated extension (FrameType.MC_PROFILE): the proposer applies the
+    # upgraded profile only after the peer's ACK; the peer applies on
+    # receipt.  A reference peer never ACKs an unknown control type, so
+    # links to it stay on the standard 10-carrier R1/4 profile.  A lost
+    # ACK leaves the ends mismatched only until the adapter re-proposes;
+    # meanwhile the station's standard-profile RX hypothesis still decodes
+    # the peer's frames (phy/station.py profile fallback).
+
+    MC_PROFILE_MAX_ATTEMPTS = 3
+
+    def request_mc_profile(self, carriers: int, modulation: str,
+                           rate: str) -> bool:
+        if (self.state != ConnectionState.CONNECTED
+                or self.link.waveform != WaveformMode.MC_DPSK
+                or self._profile_attempts >= self.MC_PROFILE_MAX_ATTEMPTS):
+            return False
+        # Dedicated seq range: data ACKs carry small ARQ seqs, and an ACK
+        # seq match is what applies the profile — a collision with a data
+        # ACK must be impossible (0xFFFF stays reserved for DISCONNECT).
+        seq = 0xFE00 | (self._next_ctrl_seq() & 0xFF)
+        f = ControlFrame(type=FrameType.MC_PROFILE, seq=seq,
+                         src_hash=hash_callsign(self.local_call),
+                         dst_hash=self.remote_hash,
+                         payload=bytes([carriers, MOD_ENUM[modulation],
+                                        RATE_ENUM[rate],
+                                        encode_snr(self.measured_snr_db),
+                                        encode_fading_index(self.measured_fading),
+                                        0]))
+        self._pending_profile = (seq, carriers, modulation, rate)
+        self._profile_attempts += 1
+        self._tx(f.serialize(), handshake=False)
+        return True
+
+    def _handle_mc_profile(self, ctrl: ControlFrame):
+        """Peer side: ACK the offer and ARM the new profile as a second RX
+        hypothesis (on_mc_profile_offer -> station) — do NOT switch TX yet.
+        The peer adopts the profile only once a frame actually decodes
+        under it (adopt_mc_profile), so a lost ACK can never leave the two
+        ends transmitting mutually undecodable profiles."""
+        if self.state != ConnectionState.CONNECTED:
+            return
+        p = ctrl.payload
+        carriers = int(p[0])
+        if not (3 <= carriers <= 20):
+            return
+        ack = ControlFrame.make_ack(self.local_call, self.remote_hash, ctrl.seq)
+        self._tx(ack.serialize(), handshake=False)
+        if self.on_mc_profile_offer:
+            self.on_mc_profile_offer(carriers, MOD_NAME.get(p[1], "DBPSK"),
+                                     RATE_NAME.get(p[2], "R1_2"))
+
+    def adopt_mc_profile(self, carriers: int, modulation: str, rate: str):
+        """Silent link switch once the armed profile decoded a real frame
+        (the station keeps the waveform object; no on_mode_changed)."""
+        self.link = LinkMode(waveform=WaveformMode.MC_DPSK,
+                             modulation=modulation, rate=rate,
+                             spreading=1, mc_carriers=carriers)
+
+    def _complete_mc_profile(self, seq: int) -> bool:
+        """ACK arrived for a pending profile proposal -> apply it."""
+        if self._pending_profile is None or self._pending_profile[0] != seq:
+            return False
+        _, carriers, modulation, rate = self._pending_profile
+        self._pending_profile = None
+        self._profile_attempts = 0
+        self.link = LinkMode(waveform=WaveformMode.MC_DPSK,
+                             modulation=modulation, rate=rate,
+                             spreading=1, mc_carriers=carriers)
+        if self.on_mode_changed:
+            self.on_mode_changed(self.link)
+        return True
 
     def request_mode_change(self, modulation: str, rate: str, reason: int = 2,
                             waveform: WaveformMode | None = None) -> bool:

@@ -32,10 +32,21 @@ class WaveformRecommendation:
 
 
 def select_ofdm_code_rate(snr_db: float, fading_index: float) -> str:
+    """Reference table (waveform_selection.hpp) with two measured upgrades:
+    R2/3 on clean channels from 18 dB (10/10 seed bursts at 17-18 dB AWGN,
+    QAM16 and DQPSK) and R1/2 on Good-class fading from 10 dB (95% burst
+    decode at 10 dB Good, 10/10 at 12 — the reference needs 15 dB).  These
+    rungs are what let the net steady bps beat the reference's published
+    R1/4 and QAM16-R1/2 rows at their own operating points
+    (docs/PARITY.md §6)."""
     if fading_index < 0.15 and snr_db >= 20.0:
         return "R3_4"
+    if fading_index < 0.15 and snr_db >= 18.0:
+        return "R2_3"
     if fading_index < 0.65 and snr_db >= 20.0:
         return "R2_3"
+    if fading_index < 0.65 and snr_db >= 10.0:
+        return "R1_2"
     if fading_index < 1.10 and snr_db >= 15.0:
         return "R1_2"
     return "R1_4"
@@ -144,10 +155,14 @@ def recommended_pilot_spacing(modulation: str, rate: str) -> int:
     reference's own README benchmark row (README.md:80, "~4800 bps") is
     exactly 56 x 4 x 42.86 x 1/2, and this waveform's equalizer uses pilots
     only for common-phase correction (3 pilots suffice; verified decode at
-    18 dB AWGN / good fading in tests)."""
+    18 dB AWGN / good fading in tests).  QPSK R1/2 gets the same trim: its
+    operating point (20+ dB stable, README.md:86) is strictly easier than
+    QAM16's, and the reference's 12-pilot layout (47 data) leaves its own
+    published 2014 bps unreachable at the net level — with 3 pilots the
+    same row nets ~2190 bps (tests pin the 20 dB stable decode)."""
     coherent = modulation in ("BPSK", "QPSK", "QAM16", "QAM32", "QAM64", "QAM256")
     if coherent:
-        if modulation == "QAM16" and rate == "R1_2":
+        if modulation in ("QAM16", "QPSK") and rate == "R1_2":
             return 20
         if rate in ("R5_6", "R7_8"):
             return 6
@@ -157,6 +172,37 @@ def recommended_pilot_spacing(modulation: str, rate: str) -> int:
     if modulation == "D8PSK":
         return 8 if rate in ("R3_4", "R2_3", "R1_2") else 10
     return 15 if rate == "R3_4" else 10
+
+
+def recommend_mc_profile(snr_db: float,
+                         fading_index: float = 0.0) -> tuple[int, str, str] | None:
+    """(carriers, modulation, rate) for the ACK-gated MC-DPSK profile
+    upgrade, or None to keep the standard 10-carrier R1/4 profile.
+
+    The reference pins in-session MC-DPSK at 10 carriers / R1/4
+    (waveform_selection.hpp:255-257), so its published 469/938 bps rows
+    (R1/2 capacity math, README.md:68-72) are unreachable on its own link.
+    Measured floors here (AWGN, 10/10 seeds, ZC-light data frames):
+    13c DBPSK R1/2 clean at -6 dB, 13c DQPSK R1/2 at +3, 16c DQPSK R1/2
+    at +4 — so with 2 dB margin the upgrade engages at -4/+4/+6.
+
+    STRICTLY AWGN-gated: on Rayleigh channels R1/2 MC-DPSK collapses
+    (measured: 13c DQPSK R1/2 1/10 on Good fading even at +6 dB — a deep
+    carrier fade over a long frame defeats the halved parity), which is
+    exactly why the reference pins in-session MC-DPSK to R1/4.  The
+    published MC-DPSK rows are AWGN rows (BASELINE.md "10 carriers, sim
+    AWGN").  The measured fading index separates the classes cleanly even
+    at low SNR: AWGN reads 0.12-0.24 (noise-driven bias at -4 dB), Good
+    fading reads ~0.69 — the 0.40 gate sits between them."""
+    if fading_index >= 0.40:
+        return None
+    if snr_db >= 6.0:
+        return 16, "DQPSK", "R1_2"
+    if snr_db >= 4.0:
+        return 13, "DQPSK", "R1_2"
+    if snr_db >= -4.0:
+        return 13, "DBPSK", "R1_2"
+    return None
 
 
 def recommend_mc_dpsk_carriers(snr_db: float) -> int:

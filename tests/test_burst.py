@@ -110,7 +110,7 @@ def test_burst_session_negotiated_and_delivers():
     message rides one burst, and delivery is complete."""
     cfg_a = ConnectionConfig(burst_group=8)
     cfg_b = ConnectionConfig(burst_group=8)
-    sim = DualStationSim(channel_cfg=awgn(12.0), seed=5, config_a=cfg_a,
+    sim = DualStationSim(channel_cfg=awgn(14.0), seed=5, config_a=cfg_a,
                          config_b=cfg_b)
     got = []
     sim.bravo.conn.on_message = got.append
