@@ -117,6 +117,19 @@ class LinkAdapter:
         if (rec[0], rec[1]) == (current_mod, current_rate):
             self._candidate, self._hits = None, 0
             return None
+        # 2 dB downgrade hysteresis (reference adaptive_mode.hpp): a mode
+        # that engaged right at its rung must not flap back on measurement
+        # noise — only downgrade when even a 2 dB-more-generous read still
+        # recommends leaving the current mode.  (Without this, a link
+        # whose SNR median sits on a rung boundary oscillates, and every
+        # flap rebuilds waveforms and recompiles pipelines.)
+        rec_hyst = recommend_data_mode(avg_snr + HYSTERESIS_DB, waveform,
+                                       avg_fading)
+        if ((rec_hyst[0], rec_hyst[1]) == (current_mod, current_rate)
+                and mode_efficiency(rec[0], rec[1])
+                < mode_efficiency(current_mod, current_rate)):
+            self._candidate, self._hits = None, 0
+            return None
         if self._candidate == rec:
             self._hits += 1
         else:

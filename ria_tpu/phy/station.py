@@ -145,6 +145,9 @@ class Station:
         self._mc_alt_wf = None
         self._mc_alt_is_new = False
         self._mc_alt_deadline = 0.0
+        # Consecutive in-session data decode failures (opportunistic-mode
+        # fallback; see _process_pending failure tail).
+        self._consec_data_failures = 0
 
         # Observer hook for dashboards (runtime.tui / monitor): called with
         # every successfully decoded RxFrame.
@@ -304,14 +307,17 @@ class Station:
             wf = MCDPSKWaveform(num_carriers=carriers,
                                 modulation=link.modulation, rate=link.rate,
                                 spreading=link.spreading)
-            if (link.mc_carriers != 10
-                    and isinstance(self.data_wf, MCDPSKWaveform)
-                    and self.data_wf.cfg.num_carriers != carriers):
-                # Proposer just applied an upgraded profile: keep the old
-                # waveform armed as the alternate RX hypothesis until the
-                # peer demonstrably switched (its frames decode under the
-                # new profile).
-                self._mc_alt_wf = self.data_wf
+            old = self.data_wf
+            if (isinstance(old, MCDPSKWaveform)
+                    and (old.cfg.num_carriers, old.modulation, old.rate)
+                    != (carriers, link.modulation, link.rate)):
+                # Any MC->MC profile transition (upgrade apply, downgrade
+                # apply, responder side of either): keep the old profile
+                # armed as the alternate RX hypothesis until the peer
+                # demonstrably switched (a frame decodes under the new
+                # primary), so in-flight frames from the other side of the
+                # transition still decode.
+                self._mc_alt_wf = old
                 self._mc_alt_is_new = False
                 self._mc_alt_deadline = self._now_ms + 30_000
         else:
@@ -768,6 +774,7 @@ class Station:
         if nf is not None and nf > 0.0:
             self._noise_floor = nf
         if rx.ok:
+            self._consec_data_failures = 0
             if (self._mc_alt_wf is not None and not self._mc_alt_is_new
                     and wf is self.data_wf and isinstance(wf, MCDPSKWaveform)):
                 # Proposer side: a frame decoded under the NEW (primary)
@@ -806,6 +813,26 @@ class Station:
         # two-strike retry re-ran an identical multi-second decode).
         self.stats.decode_failures += 1
         self.stats.sync_skips += 1
+        # Opportunistic-mode failure fallback: a streak of failed data
+        # decodes while CONNECTED means the channel left the mode's
+        # envelope (e.g. fading developed under a D8PSK/QAM link, whose
+        # upgrades are AWGN-gated by measurement and cannot re-trigger
+        # the adapter because failures never feed it).  Step down to the
+        # robust DQPSK ladder 3 dB below the last known SNR.
+        if connected:
+            self._consec_data_failures += 1
+            link = self.conn.link
+            if (self._consec_data_failures >= 3
+                    and link.waveform in (WaveformMode.OFDM_CHIRP,
+                                          WaveformMode.OFDM_COX)
+                    and link.modulation != "DQPSK"
+                    and not self.conn.config.forced_modulation):
+                from ria_tpu.wave.selection import select_ofdm_code_rate
+
+                snr = self.conn.measured_snr_db - 3.0
+                self.conn.request_mode_change(
+                    "DQPSK", select_ofdm_code_rate(snr, 0.5), reason=1)
+                self._consec_data_failures = 0
         # Partial data frame with a decoded header: request a retransmit
         # with the per-CW failure bitmap (NACK), which feeds chase
         # combining on the next reception.
@@ -907,10 +934,19 @@ class Station:
             # ~0.3 dB measurement bias of the spectral SNR estimate.
             if (link.mc_carriers > 10 and self._mc_want_hits >= 2
                     and recommend_mc_profile(snr_med + 2.0, fading_med) is None):
-                mod, rate, _ = recommend_data_mode(snr_med,
-                                                   WaveformMode.MC_DPSK,
-                                                   fading_med)
-                self.conn.request_mode_change(mod, rate, reason=1)
+                mod, rate, spread = recommend_data_mode(snr_med,
+                                                        WaveformMode.MC_DPSK,
+                                                        fading_med)
+                if self.conn.request_mode_change(mod, rate, reason=1):
+                    # The peer applies on receipt and its ACK rides the
+                    # NEW standard profile — arm it as the alternate RX
+                    # hypothesis so the ACK (and any data the peer sends
+                    # before our own ack-gated switch) still decodes.
+                    self._mc_alt_wf = MCDPSKWaveform(
+                        num_carriers=10, modulation=mod, rate=rate,
+                        spreading=spread)
+                    self._mc_alt_is_new = False
+                    self._mc_alt_deadline = self._now_ms + 30_000
                 self._mc_want, self._mc_want_hits = None, 0
             return
         if self._mc_want_hits >= 4:

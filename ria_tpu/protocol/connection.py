@@ -184,6 +184,11 @@ class Connection:
         # ACKs, so stop offering after a few tries).
         self._pending_profile: tuple[int, int, str, str] | None = None
         self._profile_attempts = 0
+        # ACK-gated MODE_CHANGE (reference connection.cpp:741,924):
+        # (seq, frame_bytes, mod, rate, waveform, snr_at_request).
+        self._pending_mode_change: tuple | None = None
+        self._mode_change_timer_ms = 0
+        self._mode_change_retries = 0
         # Reliable disconnect handshake (connection.cpp:305-328, :956-1002):
         # initiator retransmits DISCONNECT until ACKed; responder holds a
         # grace period, proactively re-sending the ACK, before dropping.
@@ -469,6 +474,7 @@ class Connection:
         self._keepalive_timer = 0
         self._pending_profile = None
         self._profile_attempts = 0
+        self._pending_mode_change = None
         mode = (ARQMode.STOP_AND_WAIT if link.waveform == WaveformMode.MC_DPSK
                 else ARQMode.SELECTIVE_REPEAT)
         arq_cfg = self.config.arq
@@ -583,7 +589,8 @@ class Connection:
                 if self.state == ConnectionState.DISCONNECTING:
                     return  # stale data ACK while tearing down
                 if (ctrl.type == FrameType.ACK
-                        and self._complete_mc_profile(ctrl.seq)):
+                        and (self._complete_mc_profile(ctrl.seq)
+                             or self._complete_mode_change(ctrl.seq))):
                     return
                 self.arq.on_frame_received(frame_bytes)
                 return
@@ -694,10 +701,12 @@ class Connection:
                 decode_snr(p[2]), WaveformMode.MC_DPSK)
         self.link = link
         self._sync_arq_window()
-        ack = ControlFrame.make_ack(self.local_call, self.remote_hash, ctrl.seq)
-        self._tx(ack.serialize(), handshake=False)
+        # Rebuild the waveform BEFORE transmitting the ACK: the ACK rides
+        # the data waveform, and a stale one trips the TX drift guard.
         if self.on_mode_changed:
             self.on_mode_changed(link)
+        ack = ControlFrame.make_ack(self.local_call, self.remote_hash, ctrl.seq)
+        self._tx(ack.serialize(), handshake=False)
 
     def _sync_arq_window(self):
         """Grow the live ARQ window to cover the negotiated burst group
@@ -783,29 +792,68 @@ class Connection:
             self.on_mode_changed(self.link)
         return True
 
+    MODE_CHANGE_TIMEOUT_MS = 45_000       # reference connection.hpp:296 (DPSK RTT)
+    MODE_CHANGE_TIMEOUT_OFDM_MS = 12_000  # OFDM ctrl RTT is seconds, not 45 s
+    MODE_CHANGE_MAX_RETRIES = 2           # reference connection.hpp:297
+
+    @property
+    def _mode_change_timeout(self) -> int:
+        return (self.MODE_CHANGE_TIMEOUT_MS
+                if self.link.waveform == WaveformMode.MC_DPSK
+                else self.MODE_CHANGE_TIMEOUT_OFDM_MS)
+
     def request_mode_change(self, modulation: str, rate: str, reason: int = 2,
                             waveform: WaveformMode | None = None) -> bool:
+        """ACK-GATED, like the reference (connection.cpp:741-770, 924-950):
+        the requester applies the new mode only when the peer's ACK
+        arrives, retries on timeout, and keeps the current mode after the
+        retry budget.  (Optimistic apply deadlocks the link whenever the
+        MODE_CHANGE frame is lost in a fade: the ends transmit mutually
+        undecodable data profiles and only the hardened control path still
+        crosses.)"""
         if self.state != ConnectionState.CONNECTED:
             return False
+        if self._pending_mode_change is not None:
+            return False  # one in flight at a time (reference behavior)
+        # Dedicated seq range (cf. MC_PROFILE): the apply trigger is an
+        # ACK seq match, which must never collide with a data ACK.
+        seq = 0xFD00 | (self._next_ctrl_seq() & 0xFF)
+        snr_at_request = self.measured_snr_db
         f = ControlFrame.make_mode_change(
-            self.local_call, self.remote_hash, self._next_ctrl_seq(),
-            MOD_ENUM[modulation], rate, self.measured_snr_db,
+            self.local_call, self.remote_hash, seq,
+            MOD_ENUM[modulation], rate, snr_at_request,
             self.measured_fading, reason, waveform)
-        self._tx(f.serialize(), handshake=False)
+        fb = f.serialize()
+        # Keep the SNR that went INTO the frame: the receiver derives
+        # spreading/burst geometry from that byte, and both ends must use
+        # the same value even if measured_snr_db moves before the ACK.
+        self._pending_mode_change = (seq, fb, modulation, rate, waveform,
+                                     snr_at_request)
+        self._mode_change_timer_ms = 0
+        self._mode_change_retries = 0
+        self._tx(fb, handshake=False)
+        return True
+
+    def _complete_mode_change(self, seq: int) -> bool:
+        """Peer ACKed our MODE_CHANGE -> apply it (reference :741-770)."""
+        if (self._pending_mode_change is None
+                or self._pending_mode_change[0] != seq):
+            return False
+        _, _, modulation, rate, waveform, snr_req = self._pending_mode_change
+        self._pending_mode_change = None
+        snr_wire = decode_snr(encode_snr(snr_req))
         spreading = self.link.spreading
         if (waveform or self.link.waveform) == WaveformMode.MC_DPSK:
             # Mirror the receiver's derivation (see _handle_mode_change):
             # both ends compute spreading from the same encoded SNR byte.
-            _, _, spreading = recommend_data_mode(
-                decode_snr(encode_snr(self.measured_snr_db)),
-                WaveformMode.MC_DPSK)
+            _, _, spreading = recommend_data_mode(snr_wire,
+                                                  WaveformMode.MC_DPSK)
         new_wf = waveform or self.link.waveform
         burst_ok = new_wf in (WaveformMode.OFDM_CHIRP, WaveformMode.OFDM_COX)
         group = self.link.burst_group
         if burst_ok and group >= 2:
             # Mirror the receiver's re-derivation from the same SNR byte.
-            group = burst_group_for_snr(
-                decode_snr(encode_snr(self.measured_snr_db)))
+            group = burst_group_for_snr(snr_wire)
         self.link = LinkMode(waveform=new_wf,
                              modulation=modulation, rate=rate,
                              spreading=spreading,
@@ -855,6 +903,17 @@ class Connection:
                         self._disc_ack_retx_ms -= elapsed_ms
                 self.arq.tick(elapsed_ms)
                 return
+            # MODE_CHANGE retry / abandon (reference connection.cpp:924-950).
+            if self._pending_mode_change is not None:
+                self._mode_change_timer_ms += elapsed_ms
+                if self._mode_change_timer_ms >= self._mode_change_timeout:
+                    self._mode_change_timer_ms = 0
+                    self._mode_change_retries += 1
+                    if self._mode_change_retries > self.MODE_CHANGE_MAX_RETRIES:
+                        # Keep the current mode — both ends still agree.
+                        self._pending_mode_change = None
+                    else:
+                        self._tx(self._pending_mode_change[1], handshake=False)
             self.arq.tick(elapsed_ms)
             self._drain_tx_queue()
             self._keepalive_timer += elapsed_ms

@@ -41,11 +41,18 @@ def select_ofdm_code_rate(snr_db: float, fading_index: float) -> str:
     (docs/PARITY.md §6)."""
     if fading_index < 0.15 and snr_db >= 20.0:
         return "R3_4"
-    if fading_index < 0.15 and snr_db >= 18.0:
+    if fading_index < 0.15 and snr_db >= 17.0:
         return "R2_3"
     if fading_index < 0.65 and snr_db >= 20.0:
         return "R2_3"
-    if fading_index < 0.65 and snr_db >= 10.0:
+    if fading_index < 0.65 and snr_db >= 6.5:
+        # Thresholds live in MEASURED-SNR units: per-frame spectral SNR on
+        # a fading channel reads ~2.5-3 dB below the channel's true SNR
+        # (fade-state dependent), so measured 7 == true ~10 — the
+        # reference's published R1/4 row condition.  Floors: AWGN bursts
+        # 10/10 at true 7 dB; Good-class G4 95% at true 10 (the ARQ covers
+        # the tail, and R1/4's 1066 bps net is never the better answer
+        # there).
         return "R1_2"
     if fading_index < 1.10 and snr_db >= 15.0:
         return "R1_2"
@@ -87,11 +94,17 @@ def recommend_waveform_and_rate(snr_db: float, fading_index: float) -> WaveformR
         if snr_db >= 22.0:
             return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "QAM32", "R3_4",
                                           estimated_throughput_bps=6000.0)
-        if snr_db >= 18.0:
+        if snr_db >= 17.0:
             rate = select_ofdm_code_rate(snr_db, fading_index)
             bps = {"R3_4": 4800.0, "R2_3": 4000.0, "R1_2": 3000.0}.get(rate, 1500.0)
             return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "QAM16", rate,
                                           estimated_throughput_bps=bps)
+        if snr_db >= 11.0:
+            # Opportunistic D8PSK on clean channels (see recommend_data_mode);
+            # handshake bootstrap starts at R1/2, the in-session adapter
+            # lifts it to R2/3 once frames confirm the SNR.
+            return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "D8PSK", "R1_2",
+                                          estimated_throughput_bps=3278.0)
         rate = select_ofdm_code_rate(snr_db, fading_index)
         return WaveformRecommendation(WaveformMode.OFDM_CHIRP, "DQPSK", rate,
                                       estimated_throughput_bps=_dqpsk_bps(rate))
@@ -133,8 +146,20 @@ def recommend_data_mode(snr_db: float, waveform: WaveformMode,
             return "QAM64", "R3_4", 1
         if snr_db >= 22.0:
             return "QAM32", "R3_4", 1
-        if snr_db >= 18.0:
+        if snr_db >= 17.0:
+            # Rung in MEASURED-SNR units: the row's "18+ dB AWGN" reads
+            # ~17.3 in-session; QAM16 R2/3 bursts measured 10/10 at 17.
             return "QAM16", select_ofdm_code_rate(snr_db, fading_index), 1
+        # Opportunistic D8PSK (reference README.md D8PSK section: +50%
+        # over DQPSK, "performs well in AWGN", shipped opportunistic-only).
+        # Measured here (stream bursts, 10-seed sweeps): R2/3 and R1/2
+        # clean at 11/9 dB AWGN, but only ~40-65% on Good-class fading
+        # even at 18-20 dB (8-phase margins die in carrier fades), hence
+        # the strict AWGN gate; 2 dB engagement margin.
+        if snr_db >= 13.0:
+            return "D8PSK", "R2_3", 1
+        if snr_db >= 11.0:
+            return "D8PSK", "R1_2", 1
     elif fading_index < 0.65:
         if snr_db >= 22.0:
             return "QAM16", "R2_3", 1
