@@ -105,6 +105,69 @@ def _ofdm_case(rng):
     return rx, variants, batch, window
 
 
+def _ldpc_metrics(rng):
+    """Flagship-kernel and serving-path measurements (VERDICT r2 item 3):
+    - pallas_cw_per_s / xla_cw_per_s: sustained batched BP throughput of
+      the Pallas VMEM-resident kernel vs the XLA while_loop decoder at the
+      same geometry (R1/2, 512 codewords, ~6 dB-equivalent LLR noise);
+    - serving_decode_ms: wall latency of ONE 4-codeword control-frame
+      decode through the serving dispatch (decode_batch pads 4 -> the
+      128-row tile), host round-trip included — the cost the docstring
+      previously asserted harmless without measuring.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ria_tpu.fec.ldpc import decode_batch, make_decoder, make_encoder
+    from ria_tpu.fec.ldpc_matrix import MIN_SUM_FACTOR, get_code
+
+    rate = "R1_2"
+    code = get_code(rate)
+    B = 512
+    info = rng.integers(0, 2, (B, code.k)).astype(np.uint8)
+    coded = np.asarray(make_encoder(rate)(info)).astype(np.float32)
+    llr = (1.0 - 2.0 * coded) * 4.0
+    llr += rng.normal(0, 1.4, llr.shape).astype(np.float32)
+    variants = [jax.device_put(jnp.asarray(
+        llr + rng.normal(0, 0.05, llr.shape).astype(np.float32)))
+        for _ in range(4)]
+
+    out = {}
+    decoders = {"xla": make_decoder(rate)}
+    if jax.default_backend() == "tpu":
+        from ria_tpu.fec.ldpc_pallas import make_pallas_decoder
+
+        decoders["pallas"] = make_pallas_decoder(rate, tile=128)
+    for name, dec in decoders.items():
+        fn = jax.jit(lambda x, d=dec: d(x))
+        o = fn(variants[0])
+        jax.block_until_ready(o)
+        ok = float(np.asarray(o.success).mean())
+        iters = 30
+        t0 = time.perf_counter()
+        for i in range(iters):
+            o = fn(variants[i % len(variants)])
+        np.asarray(o.success)  # fetch forces remote completion
+        dt = time.perf_counter() - t0
+        out[f"{name}_cw_per_s"] = round(B * iters / dt, 1)
+        out[f"{name}_decode_ok"] = round(ok, 4)
+
+    # Serving latency: one 4-CW control frame through decode_batch.
+    small = np.ascontiguousarray(llr[:4])
+    fac = np.full(4, MIN_SUM_FACTOR, np.float32)
+    decode_batch(small, fac, rate)  # warm/compile
+    times = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        r = decode_batch(small, fac, rate)
+        np.asarray(r.success)
+        times.append(time.perf_counter() - t0)
+    out["serving_decode_ms"] = round(float(np.median(times)) * 1e3, 2)
+    return out
+
+
 def main() -> None:
     import jax
 
@@ -143,6 +206,8 @@ def main() -> None:
     odt, oout = _bench_chain(orx, ovariants, oiters)
     ofdm_sps = obatch * owindow * oiters / odt
 
+    ldpc = _ldpc_metrics(rng)
+
     print(json.dumps({
         "metric": "rx_chain_samples_per_sec_per_chip",
         "value": round(samples_per_s, 1),
@@ -163,6 +228,7 @@ def main() -> None:
                 "detected": int(odet.sum()),
                 "cw_decode_rate": round(float(ook.mean()), 4),
             },
+            "ldpc": ldpc,
         },
     }))
 

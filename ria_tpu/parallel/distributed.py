@@ -53,16 +53,34 @@ def make_hybrid_mesh(ch: int | None = None, t: int | None = None) -> Mesh:
     n_proc = jax.process_count()
     t = t or n_local
     ch = ch or (len(jax.devices()) // t)
-    if n_proc > 1:
+    if n_proc > 1 and jax.devices()[0].platform == "tpu":
         from jax.experimental import mesh_utils
 
         # Hosts tile the ch axis only: dcn shape (n_proc, 1) keeps every
         # t-axis neighbor pair (the ppermute halo traffic) on one host's ICI.
         devs = mesh_utils.create_hybrid_device_mesh(
             (ch, t), dcn_mesh_shape=(n_proc, 1))
+    elif n_proc > 1:
+        # CPU multi-process (the 2-process distributed test): mesh_utils'
+        # topology heuristics reject host meshes, but the layout goal is
+        # just "each mesh row = one process's devices" — build it directly.
+        devs = np.asarray(sorted(jax.devices(),
+                                 key=lambda d: (d.process_index, d.id)))
+        devs = devs[: ch * t].reshape(ch, t)
     else:
         devs = np.asarray(jax.devices()[: ch * t]).reshape(ch, t)
     return Mesh(devs, axis_names=("ch", "t"))
+
+
+def put_stream_rows(mesh: Mesh, rows_local: np.ndarray):
+    """Build the global [ch, T] array with CHANNEL rows split across hosts
+    (the hybrid layout's cross-DCN axis): each process feeds only its own
+    channel rows [ch_local, T]; no host ever materializes another host's
+    audio.  Columns stay sharded over the on-host ``t`` axis."""
+    sharding = NamedSharding(mesh, P("ch", "t"))
+    if jax.process_count() == 1:
+        return jax.device_put(rows_local, sharding)
+    return jax.make_array_from_process_local_data(sharding, rows_local)
 
 
 def put_stream(mesh: Mesh, audio_local: np.ndarray, axis: str = "t"):

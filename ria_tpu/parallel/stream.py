@@ -98,6 +98,23 @@ def _gather_best(detected, start, corr, cfo, block_samples: int):
     return allc[best] > 0.0, alls[best], allf[best]
 
 
+def _gather_topk(detected, start, corr, cfo, block_samples: int, k: int):
+    """Top-k per-shard detections, score-ordered (multi-frame windows:
+    each shard contributes its best in-block candidate, so a window
+    holding up to `n_devices` frames — one per block, the practical case
+    for half-duplex traffic spaced at least a frame apart — yields every
+    frame; two frames inside ONE block is out of contract and takes the
+    stronger, exactly like the reference's per-window sliding search)."""
+    i = jax.lax.axis_index("t")
+    ok = detected & (start >= 0) & (start < block_samples)
+    score = jnp.where(ok, corr, -1.0)
+    allc = jax.lax.all_gather(score, "t")                       # [n]
+    alls = jax.lax.all_gather(start + i * block_samples, "t")   # [n]
+    allf = jax.lax.all_gather(cfo, "t")
+    order = jnp.argsort(-allc)[:k]
+    return allc[order] > 0.0, alls[order], allf[order]
+
+
 def make_stream_search(mesh: Mesh, chirp_cfg, block_samples: int,
                        halo: int | None = None):
     """Sharded dual-chirp search over a long stream [n*block_samples].
@@ -136,14 +153,150 @@ def _stream_geometry(cfg: MCDPSKConfig, num_codewords: int, block_samples: int):
     return num_bits, D, S_all, frame_need, sym_cap
 
 
+def make_ofdm_stream_rx(mesh: Mesh, ofdm_cfg, rate: str,
+                        block_samples: int, ci_bits: int | None = None,
+                        pallas_interpret: bool = False):
+    """Sequence-parallel OFDM RX over a long stream [n*block_samples]
+    (VERDICT r2 item 2: the reference's high-SNR workhorse, sharded).
+
+    Pipeline mirrors make_stream_rx's shape for the OFDM chain:
+    1. each shard runs the full Schmidl-Cox + LTS search on its block plus
+       a right halo covering one whole preamble + the LTS refinement span,
+       so a boundary-straddling preamble is found by the shard owning its
+       first sample; per-shard results combine with a tiny all_gather;
+    2. each shard CP-strips + FFTs exactly the OFDM symbols whose first
+       sample lies in its block (boundary symbols read into the halo) with
+       the continuous global-time downmix, producing a [sym_cap, bins]
+       slab; the global [T+S, bins] matrix assembles with one psum;
+    3. channel estimate + MMSE equalize + demap + deinterleave + LDPC run
+       replicated via the SAME kernels as the single-chip path
+       (wave.ofdm.demodulate_from_bins) — on a TPU backend the LDPC tile
+       goes through the Pallas kernel.
+    """
+    from ria_tpu.fec.interleave import channel_perm, frame_perm
+    from ria_tpu.wave.ofdm import (carrier_layout, demodulate_from_bins,
+                                   schmidl_cox_search)
+
+    n = mesh.shape["t"]
+    sym = ofdm_cfg.symbol_samples
+    T = 2
+    S = ofdm_cfg.num_symbols_for_bits(4 * LDPC_BITS)
+    num_bits = 4 * LDPC_BITS
+    total = n * block_samples
+    frame_need = (T + S) * sym
+    # Search halo: the SC metric window + LTS refinement span around a
+    # preamble starting at the block's last sample.
+    halo = ofdm_cfg.preamble_samples + 5 * sym + 2048
+    assert halo <= block_samples, (
+        f"block_samples {block_samples} must cover the search halo {halo}")
+    assert frame_need + ofdm_cfg.preamble_samples <= total
+    sym_cap = block_samples // sym + 2
+    _, data_bins, pilot_bins = carrier_layout(ofdm_cfg)
+    bins = np.concatenate([data_bins, pilot_bins]).astype(np.int64)
+    nD = len(data_bins)
+    perm = [(k + 1, k) for k in range(n - 1)]
+
+    gather_idx = frame_perm()
+    ci_gather = channel_perm(ci_bits) if ci_bits else None
+
+    def stage(local: jnp.ndarray):
+        i = jax.lax.axis_index("t")
+        right = jax.lax.ppermute(local[:halo], "t", perm)
+        ext = jnp.concatenate([local, right])          # [block + halo]
+
+        res = schmidl_cox_search(ext, ofdm_cfg)
+        # Ownership: the shard whose block contains the PREAMBLE START
+        # claims the frame (LTS sits 5 symbols in — guard + 4 STS — and
+        # may legitimately fall in the halo).
+        pre_start = res.lts_start - 5 * sym
+        detected, pre_g, cfo = _gather_best(
+            res.detected, pre_start, res.lts_corr, res.cfo_hz,
+            block_samples)
+        lts_start = pre_g + 5 * sym
+        lts_start = jnp.clip(jnp.where(detected, lts_start, 0), 0,
+                             total - frame_need)
+
+        # Symbols owned by this shard: global symbol k iff its first sample
+        # lts_start + k*sym lies in [i*block, (i+1)*block).
+        lo = i * block_samples
+        first = jnp.clip(-((lts_start - lo) // sym), 0, T + S)
+        nxt = jnp.clip(-((lts_start - lo - block_samples) // sym), 0, T + S)
+        k_slots = first + jnp.arange(sym_cap, dtype=jnp.int32)
+        offs = lts_start + k_slots * sym - lo
+        offs = jnp.clip(offs, 0, block_samples + halo - sym)
+        rows = jax.vmap(lambda o: jax.lax.dynamic_slice(ext, (o,), (sym,)))(offs)
+
+        # Continuous downmix with GLOBAL time origin at lts_start, matching
+        # demodulate_presynced's ramp exactly: t = k*sym + j.
+        w = (2.0 * jnp.pi / ofdm_cfg.sample_rate) * (ofdm_cfg.center_freq + cfo)
+        j = jnp.arange(sym, dtype=jnp.float32)
+        rot_in = jnp.exp(-1j * w * j)
+        rot_sym = jnp.exp(-1j * w * (k_slots.astype(jnp.float32) * sym))
+        bb = rows.astype(jnp.complex64) * rot_in * rot_sym[:, None]
+        core = bb[:, ofdm_cfg.cp_len : ofdm_cfg.cp_len + ofdm_cfg.fft_size]
+        freq = jnp.fft.fft(core, axis=-1)
+        z = freq[:, jnp.asarray(bins)]                 # [sym_cap, nbins]
+        valid = k_slots < nxt
+        z = jnp.where(valid[:, None], z, 0.0)
+
+        buf = jnp.zeros((T + S + sym_cap, len(bins)), jnp.complex64)
+        buf = jax.lax.dynamic_update_slice(buf, z, (first, 0))
+        Y = jax.lax.psum(buf[: T + S], "t")
+        return detected, lts_start, cfo, Y
+
+    sharded = shard_map(stage, mesh=mesh, in_specs=P("t"),
+                        out_specs=(P(), P(), P(), P()), check_vma=False)
+
+    if jax.default_backend() == "tpu" or pallas_interpret:
+        from ria_tpu.fec.ldpc_pallas import make_pallas_decoder
+
+        decoder = make_pallas_decoder(rate, tile=8, max_iters=None,
+                                      min_sum_factor=0.9375,
+                                      interpret=pallas_interpret)
+        pad_to = 8
+    else:
+        from ria_tpu.fec.ldpc import make_decoder
+
+        decoder = make_decoder(rate, None, min_sum_factor=0.9375)
+        pad_to = None
+
+    def rx(audio: jnp.ndarray):
+        detected, lts_start, cfo, Y = sharded(audio)
+        Yd, Yp = Y[:, :nD], (Y[:, nD:] if len(pilot_bins) else None)
+        demod = demodulate_from_bins(Yd, Yp, ofdm_cfg, S, T)
+        soft = demod.soft_bits[:num_bits][jnp.asarray(gather_idx)]
+        cw_soft = soft.reshape(4, LDPC_BITS)
+        if ci_gather is not None:
+            cw_soft = cw_soft[:, jnp.asarray(ci_gather)]
+        if pad_to:
+            cw_soft = jnp.concatenate(
+                [cw_soft, jnp.zeros((pad_to - 4, LDPC_BITS), jnp.float32)])
+        dec = decoder(cw_soft)
+        return {
+            "detected": detected,
+            "lts_start": lts_start,
+            "cfo_hz": cfo,
+            "cw_success": dec.success[:4] & detected,
+            "info_bits": dec.info_bits[:4],
+            "snr_db": demod.snr_db,
+        }
+
+    return jax.jit(rx, in_shardings=NamedSharding(mesh, P("t")))
+
+
 def make_stream_rx(mesh: Mesh, cfg: MCDPSKConfig, rate: str,
-                   num_codewords: int, block_samples: int):
+                   num_codewords: int, block_samples: int, top_k: int = 1,
+                   pallas_interpret: bool = False):
     """Full sharded stream RX: audio [n*block] -> dict of replicated results.
 
     Pipeline per the module docstring: halo'd chirp search, sequence-parallel
-    mix-integrate, psum symbol assembly, replicated differential/LLR + LDPC.
-    The frame may land anywhere in the stream, including straddling any
-    number of shard boundaries.
+    mix-integrate, psum symbol assembly, replicated differential/LLR + LDPC
+    (through the Pallas BP tile on TPU).  The frame may land anywhere in the
+    stream, including straddling any number of shard boundaries.
+
+    top_k > 1 decodes up to that many frames per window (one candidate per
+    shard block, see _gather_topk); results then carry a leading [top_k]
+    axis, score-ordered.  top_k == 1 keeps scalar results.
     """
     n = mesh.shape["t"]
     sps = cfg.samples_per_symbol
@@ -155,7 +308,16 @@ def make_stream_rx(mesh: Mesh, cfg: MCDPSKConfig, rate: str,
     assert halo <= block_samples, (
         f"block_samples {block_samples} must cover one preamble halo {halo}")
     assert frame_need <= total, "stream shorter than one frame"
-    decoder = make_decoder(rate, RECOMMENDED_ITERS[rate])
+    if jax.default_backend() == "tpu" or pallas_interpret:
+        from ria_tpu.fec.ldpc_pallas import make_pallas_decoder
+
+        decoder = make_pallas_decoder(rate, tile=8,
+                                      max_iters=RECOMMENDED_ITERS[rate],
+                                      interpret=pallas_interpret)
+        pad_to = 8
+    else:
+        decoder = make_decoder(rate, RECOMMENDED_ITERS[rate])
+        pad_to = None
     Mmix = np.conj(_synth_matrix(cfg)) / sps  # [sps, C] numpy constant
     perm = [(k + 1, k) for k in range(n - 1)]
 
@@ -166,55 +328,73 @@ def make_stream_rx(mesh: Mesh, cfg: MCDPSKConfig, rate: str,
 
         res = detect_dual_chirp(ext, cfg.chirp)
         corr = jnp.maximum(res.up_corr, res.down_corr)
-        detected, g_start, cfo = _gather_best(res.detected, res.start, corr,
-                                              res.cfo_hz, block_samples)
-        g_start = jnp.clip(jnp.where(detected, g_start, 0), 0,
-                           total - frame_need)
-        data_start = g_start + cfg.chirp.total_samples
+        dets, g_starts, cfos = _gather_topk(res.detected, res.start, corr,
+                                            res.cfo_hz, block_samples, top_k)
+        g_starts = jnp.clip(jnp.where(dets, g_starts, 0), 0,
+                            total - frame_need)
 
-        # Symbols owned by this shard: global symbol k iff its first sample
-        # data_start + k*sps lies in [i*block, (i+1)*block).
         lo = i * block_samples
-        first = jnp.clip(-((data_start - lo) // sps), 0, S_all)
-        nxt = jnp.clip(-((data_start - lo - block_samples) // sps), 0, S_all)
-        k_slots = first + jnp.arange(sym_cap, dtype=jnp.int32)
-        offs = data_start + k_slots * sps - lo          # local sample offsets
-        offs = jnp.clip(offs, 0, block_samples + halo - sps)
-        rows = jax.vmap(lambda o: jax.lax.dynamic_slice(ext, (o,), (sps,)))(offs)
 
-        # CFO rotation with phase origin at the frame start (k*sps + j),
-        # matching wave.mc_dpsk.demodulate's factored ramp exactly.
-        w = (2.0 * jnp.pi / cfg.sample_rate) * cfo
-        rot_in = jnp.exp(-1j * w * jnp.arange(sps, dtype=jnp.float32))
-        rot_sym = jnp.exp(-1j * w * (k_slots.astype(jnp.float32) * sps))
-        z = (rows.astype(jnp.complex64) * rot_in) @ jnp.asarray(Mmix)
-        z = z * rot_sym[:, None]                        # [sym_cap, C]
-        valid = k_slots < nxt
-        z = jnp.where(valid[:, None], z, 0.0)
+        def assemble(g_start, cfo):
+            data_start = g_start + cfg.chirp.total_samples
+            # Symbols owned by this shard: global symbol k iff its first
+            # sample data_start + k*sps lies in [i*block, (i+1)*block).
+            first = jnp.clip(-((data_start - lo) // sps), 0, S_all)
+            nxt = jnp.clip(-((data_start - lo - block_samples) // sps), 0, S_all)
+            k_slots = first + jnp.arange(sym_cap, dtype=jnp.int32)
+            offs = data_start + k_slots * sps - lo      # local sample offsets
+            offs = jnp.clip(offs, 0, block_samples + halo - sps)
+            rows = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(ext, (o,), (sps,)))(offs)
 
-        # Assemble the global symbol matrix: contiguous per-shard slabs,
-        # one dynamic_update_slice + psum.
-        buf = jnp.zeros((S_all + sym_cap, C), jnp.complex64)
-        buf = jax.lax.dynamic_update_slice(buf, z, (first, 0))
-        zsym = jax.lax.psum(buf[:S_all], "t")
-        return detected, g_start, cfo, zsym
+            # CFO rotation with phase origin at the frame start (k*sps + j),
+            # matching wave.mc_dpsk.demodulate's factored ramp exactly.
+            w = (2.0 * jnp.pi / cfg.sample_rate) * cfo
+            rot_in = jnp.exp(-1j * w * jnp.arange(sps, dtype=jnp.float32))
+            rot_sym = jnp.exp(-1j * w * (k_slots.astype(jnp.float32) * sps))
+            z = (rows.astype(jnp.complex64) * rot_in) @ jnp.asarray(Mmix)
+            z = z * rot_sym[:, None]                    # [sym_cap, C]
+            valid = k_slots < nxt
+            z = jnp.where(valid[:, None], z, 0.0)
+
+            # Contiguous per-shard slab, one dynamic_update_slice.
+            buf = jnp.zeros((S_all + sym_cap, C), jnp.complex64)
+            buf = jax.lax.dynamic_update_slice(buf, z, (first, 0))
+            return buf[:S_all]
+
+        zsyms = jax.vmap(assemble)(g_starts, cfos)      # [top_k, S_all, C]
+        zsyms = jax.lax.psum(zsyms, "t")
+        return dets, g_starts, cfos, zsyms
 
     sharded = shard_map(stage, mesh=mesh, in_specs=P("t"),
                         out_specs=(P(), P(), P(), P()), check_vma=False)
 
     def rx(audio: jnp.ndarray):
-        detected, start, cfo, zsym = sharded(audio)
-        res = soft_from_zsym(zsym, cfg, D)
-        soft = res.soft_bits[:num_bits].reshape(num_codewords, LDPC_BITS)
+        dets, starts, cfos, zsyms = sharded(audio)
+        res = jax.vmap(lambda zz: soft_from_zsym(zz, cfg, D))(zsyms)
+        soft = res.soft_bits[..., :num_bits].reshape(top_k * num_codewords,
+                                                     LDPC_BITS)
+        if pad_to:
+            pad = (-soft.shape[0]) % pad_to
+            if pad:
+                soft = jnp.concatenate(
+                    [soft, jnp.zeros((pad, LDPC_BITS), jnp.float32)])
         dec = decoder(soft)
-        return {
-            "detected": detected,
-            "start": start,
-            "cfo_hz": cfo,
-            "cw_success": dec.success & detected,
-            "info_bits": dec.info_bits,
-            "soft_bits": soft,
+        rows = top_k * num_codewords
+        ok = dec.success[:rows].reshape(top_k, num_codewords) & dets[:, None]
+        info = dec.info_bits[:rows].reshape(top_k, num_codewords, -1)
+        sb = soft[:rows].reshape(top_k, num_codewords, LDPC_BITS)
+        out = {
+            "detected": dets,
+            "start": starts,
+            "cfo_hz": cfos,
+            "cw_success": ok,
+            "info_bits": info,
+            "soft_bits": sb,
             "snr_db": res.snr_estimate_db,
         }
+        if top_k == 1:
+            out = {k: v[0] for k, v in out.items()}
+        return out
 
     return jax.jit(rx, in_shardings=NamedSharding(mesh, P("t")))

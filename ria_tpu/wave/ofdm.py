@@ -353,71 +353,111 @@ def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
 
     z = analytic_signal(samples)
     zc = jnp.conj(z[..., :-half]) * z[..., half:]
-    # P(d) over window [d+cp, d+cp+half): sliding sums via cumsum.
+
     def sliding(x, w):
         c = jnp.cumsum(x, axis=-1)
         zero = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
         cs = jnp.concatenate([zero, c], axis=-1)
         return cs[..., w:] - cs[..., :-w]
 
-    P = sliding(zc, half)                       # P[j] = sum over [j, j+half)
-    absz2 = jnp.square(jnp.abs(z))
-    R1 = sliding(absz2[..., :], half)
-    R2 = sliding(absz2[..., half:], half)
+    # Coarse SC metric on a DECIMATED lag grid: the metric's plateau spans
+    # ~CP samples (96), so stride-8 sampling cannot miss it, the LTS
+    # cross-correlation below refines timing to the sample anyway, and the
+    # full-rate cumsum pair was ~40% of the whole search's device time.
+    # P(d) over window [d+cp, d+cp+half) approximated by the stride-8
+    # comb; the normalization divides the same comb's energies, so the
+    # metric's scale is unchanged.
+    DEC = 8
+    zc_d = zc[..., ::DEC]
+    absz2_d = jnp.square(jnp.abs(z))[..., ::DEC]
+    w_d = half // DEC
+    P = sliding(zc_d, w_d)                     # P[j] ~ sum over [j*DEC, +half)
+    R1 = sliding(absz2_d, w_d)
+    R2 = sliding(absz2_d[..., w_d:], w_d)
     m = min(P.shape[-1], R2.shape[-1])
     P, R1, R2 = P[..., :m], R1[..., :m], R2[..., :m]
     M = jnp.abs(P) / jnp.sqrt(jnp.maximum(R1 * R2, 1e-20))
 
-    # offset d has data_start = d + cp -> metric index j = d + cp
-    num_lags = max(m - cfg.cp_len, 1)
-    Md = M[..., cfg.cp_len : cfg.cp_len + num_lags]
-    peak = jnp.argmax(Md, axis=-1).astype(jnp.int32)
-    peak_val = jnp.take_along_axis(Md, peak[..., None], -1)[..., 0]
+    # offset d has data_start = d + cp -> decimated metric index
+    # j = (d + cp) / DEC
+    cp_d = cfg.cp_len // DEC
+    num_lags = max(m - cp_d, 1)
+    Md = M[..., cp_d : cp_d + num_lags]
+    peak_d = jnp.argmax(Md, axis=-1).astype(jnp.int32)
+    peak_val = jnp.take_along_axis(Md, peak_d[..., None], -1)[..., 0]
+    peak = peak_d * DEC                         # full-rate preamble offset
 
     # CFO at the peak.
-    Pd = P[..., cfg.cp_len : cfg.cp_len + num_lags]
-    P_peak = jnp.take_along_axis(Pd, peak[..., None], -1)[..., 0]
+    Pd = P[..., cp_d : cp_d + num_lags]
+    P_peak = jnp.take_along_axis(Pd, peak_d[..., None], -1)[..., 0]
     cfo = jnp.angle(P_peak) * cfg.sample_rate / (jnp.pi * N)
     max_cfo = cfg.sample_rate / N
     cfo = jnp.clip(cfo, -max_cfo, max_cfo)
 
-    # LTS fine timing: passband cross-correlation of the known LTS symbol.
+    # LTS fine timing: passband cross-correlation of the known LTS symbol,
+    # restricted to a dynamic slice around the expected LTS (peak + 4 sym
+    # +/- the old search span) — an 8192-point FFT correlation instead of
+    # the whole-window next-pow2 one.
     lts = _lts_symbol(cfg)
-    t = np.arange(len(lts), dtype=np.float64) / cfg.sample_rate
     # LTS template as TX'd when it follows 4 STS symbols (mixer phase offset);
     # correlation magnitude over the analytic template is phase-invariant, so
     # the offset does not matter.
-    lts_pass = (np.real(lts * np.exp(2j * np.pi * cfg.center_freq *
-                                     (t * cfg.sample_rate + 4 * sym) / cfg.sample_rate))
-                * cfg.output_scale).astype(np.float32)
     lts_analytic = np.asarray(
         np.exp(2j * np.pi * cfg.center_freq * (np.arange(len(lts)) + 4 * sym) / cfg.sample_rate)
         * lts * cfg.output_scale, np.complex64)
     ref_energy = float(np.sum(np.abs(lts_analytic) ** 2)) * 0.5
 
     L = len(lts)
-    nfft = 1 << (n + L - 1).bit_length()
-    X = jnp.fft.fft(samples.astype(jnp.complex64), nfft)
+    # The SC metric of 4 identical STS symbols (each with two identical
+    # halves) is a ~4-symbol plateau, and the argmax can land anywhere on
+    # it — the candidate window must span the WHOLE plateau or the true
+    # LTS can fall just outside it (observed: peak at plateau end put the
+    # first LTS 1 sample below the old -3*sym bound; the second repeat
+    # then decoded one symbol late).
+    span = 4 * sym + sym // 2                  # candidate lag span
+    R = span + L + DEC                         # slice length (static)
+    nfft = 1 << (R - 1).bit_length()
+    expected = peak + 4 * sym
+    lo = jnp.clip(expected - 4 * sym, 0, max(n - R, 0))
+    sl = jax.vmap(lambda a, s: jax.lax.dynamic_slice(a, (s,), (R,)))(
+        samples.reshape(-1, n), lo.reshape(-1)).reshape(samples.shape[:-1] + (R,))
+    X = jnp.fft.fft(sl.astype(jnp.complex64), nfft)
     H = jnp.conj(jnp.fft.fft(jnp.asarray(lts_analytic), nfft))
-    xc = jnp.fft.ifft(X * H)[..., : max(n - L, 1)]
-    e = sliding(jnp.square(samples.astype(jnp.float32)), L)[..., : xc.shape[-1]]
+    xc = jnp.fft.ifft(X * H)[..., : R - L]
+    e = sliding(jnp.square(sl.astype(jnp.float32)), L)[..., : xc.shape[-1]]
     lts_corr_all = jnp.abs(xc) / jnp.sqrt(jnp.maximum(e * ref_energy, 1e-12))
 
-    # Restrict to the window around the expected LTS (peak + 4 sym +/- search).
-    expected = peak + 4 * sym
+    # Candidate mask inside the slice: [expected-3sym, expected+sym/2]
+    # relative to lo (only the front clamp can shift it).
     lags = jnp.arange(lts_corr_all.shape[-1], dtype=jnp.int32)
-    lo = (expected - 3 * sym)[..., None]
-    hi = (expected + sym // 2)[..., None]
-    masked = jnp.where((lags >= lo) & (lags <= hi), lts_corr_all, -1.0)
-    lts_pos = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-    lts_val = jnp.take_along_axis(masked, lts_pos[..., None], -1)[..., 0]
+    lo_rel = (expected - 4 * sym - lo)[..., None]
+    hi_rel = (expected + sym // 2 - lo)[..., None]
+    masked = jnp.where((lags >= lo_rel) & (lags <= hi_rel), lts_corr_all, -1.0)
+    pos_rel = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    lts_val = jnp.take_along_axis(masked, pos_rel[..., None], -1)[..., 0]
 
     # Prefer the earlier of the two LTS repeats (92% rule).
-    prev_pos = jnp.maximum(lts_pos - sym, 0)
-    prev_val = jnp.take_along_axis(lts_corr_all, prev_pos[..., None], -1)[..., 0]
-    take_prev = (lts_pos >= sym) & (prev_val >= lts_val * 0.92)
-    lts_pos = jnp.where(take_prev, prev_pos, lts_pos)
+    prev_rel = jnp.maximum(pos_rel - sym, 0)
+    prev_val = jnp.take_along_axis(lts_corr_all, prev_rel[..., None], -1)[..., 0]
+    take_prev = (pos_rel >= sym) & (prev_val >= lts_val * 0.92)
+    pos_rel = jnp.where(take_prev, prev_rel, pos_rel)
     lts_val = jnp.where(take_prev, prev_val, lts_val)
+    lts_pos = lo + pos_rel
+
+    # Fine CFO from the LTS repeat pair (phase drift over one symbol),
+    # wrap-resolved against the coarse SC estimate.  The decimated SC
+    # P-sum alone is ~sqrt(DEC) noisier than the old full-rate sum; the
+    # LTS pair at the refined timing is tighter than either.
+    seg_len = sym + L
+    seg = jax.vmap(lambda a, s: jax.lax.dynamic_slice(a, (s,), (seg_len,)))(
+        z.reshape(-1, n),
+        jnp.clip(lts_pos, 0, max(n - seg_len, 0)).reshape(-1)
+    ).reshape(samples.shape[:-1] + (seg_len,))
+    r = jnp.sum(seg[..., :L] * jnp.conj(seg[..., sym : sym + L]), axis=-1)
+    spacing = cfg.sample_rate / sym
+    cfo_fine = -jnp.angle(r) * spacing / (2.0 * jnp.pi)
+    k = jnp.round((cfo - cfo_fine) / spacing)
+    cfo = jnp.where(jnp.abs(r) > 1e-12, cfo_fine + k * spacing, cfo)
 
     lts_threshold = 0.05 if cfg.fft_size >= 1024 else 0.35
     detected = (peak_val > cfg.sync_threshold) & (lts_val > lts_threshold)
@@ -623,6 +663,25 @@ def _demap(mod: str, eq: jnp.ndarray, prev: jnp.ndarray, nv: jnp.ndarray):
     raise ValueError(mod)
 
 
+def _affine_prefix(x: jnp.ndarray, init: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    """BEFORE-step states of the EMA recurrence s_n = (1-a)*s_{n-1} + a*x_n
+    along axis -2: out[..., n, :] = state after consuming x[..., :n, :],
+    out[..., 0, :] = init.  Log-depth parallel prefix over the affine maps
+    (A, B) -> s = A*s_prev + B, composed associatively."""
+    a = 1.0 - alpha
+    A = jnp.full_like(x, a)
+    B = alpha * x
+    # Fold the init into the first element so the scan is init-free.
+    B = B.at[..., 0, :].add(a * init)
+
+    def compose(l, r):
+        return (l[0] * r[0], l[1] * r[0] + r[1])
+
+    A_acc, after = jax.lax.associative_scan(compose, (A, B), axis=-2)
+    del A_acc
+    return jnp.concatenate([init[..., None, :], after[..., :-1, :]], axis=-2)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "num_data_symbols", "training_symbols"))
 def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: OFDMConfig,
                          num_data_symbols: int, training_symbols: int = 2) -> OFDMDemodResult:
@@ -637,8 +696,6 @@ def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: OFDMCon
     x = samples[..., :need]
 
     _, data_bins, pilot_bins = carrier_layout(cfg)
-    D = len(data_bins)
-    mod = cfg.modulation
 
     t = jnp.arange(need, dtype=jnp.float32) / cfg.sample_rate
     dc = jnp.exp(-1j * 2.0 * jnp.pi * (cfg.center_freq + jnp.asarray(cfo_hz)[..., None]) * t)
@@ -650,6 +707,20 @@ def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: OFDMCon
 
     Y_data = freq[..., data_bins]      # [..., T+S, D]
     Y_pilot = freq[..., pilot_bins] if len(pilot_bins) else None
+    return demodulate_from_bins(Y_data, Y_pilot, cfg, S, T)
+
+
+def demodulate_from_bins(Y_data: jnp.ndarray, Y_pilot: jnp.ndarray | None,
+                         cfg: OFDMConfig, num_data_symbols: int,
+                         training_symbols: int = 2) -> OFDMDemodResult:
+    """Demod back half, from the per-symbol carrier bins Y [..., T+S, D]
+    (continuous-downmix convention of demodulate_presynced).  Split out so
+    the sequence-parallel stream RX (parallel/stream.py) can assemble Y
+    across shards with a psum and run this stage replicated."""
+    T, S = training_symbols, num_data_symbols
+    _, data_bins, pilot_bins = carrier_layout(cfg)
+    D = len(data_bins)
+    mod = cfg.modulation
 
     # LTS channel estimate: H = mean(Y / X_known) over training symbols.
     seq = sync_sequence(cfg)
@@ -793,14 +864,37 @@ def demodulate_presynced(samples: jnp.ndarray, cfo_hz: jnp.ndarray, cfg: OFDMCon
                                fading_index=fading, channel_mag=h_mag,
                                symbols=eq_syms)
 
-    eq_t = jnp.moveaxis(eq, -2, 0)          # [S, ..., D]
-    nv_t = jnp.moveaxis(carrier_nv, -2, 0)
-    ema0 = jnp.abs(eq_t[0])
-    var0 = jnp.zeros_like(ema0)
-    prev0 = jnp.ones_like(eq_t[0])
-    (_, _, _), llrs = jax.lax.scan(scan_fn, (ema0, var0, prev0), (eq_t, nv_t))
-    # llrs: [S, ..., D, bps] -> [..., S*D*bps]
-    llrs = jnp.moveaxis(llrs, 0, -3)
+    if mod == "D8PSK":
+        # The two-pass phase correction rotates eq_s before it becomes the
+        # next symbol's differential reference — a true sequential
+        # dependency; keep the scan.
+        eq_t = jnp.moveaxis(eq, -2, 0)          # [S, ..., D]
+        nv_t = jnp.moveaxis(carrier_nv, -2, 0)
+        ema0 = jnp.abs(eq_t[0])
+        var0 = jnp.zeros_like(ema0)
+        prev0 = jnp.ones_like(eq_t[0])
+        (_, _, _), llrs = jax.lax.scan(scan_fn, (ema0, var0, prev0), (eq_t, nv_t))
+        # llrs: [S, ..., D, bps] -> [..., S*D*bps]
+        llrs = jnp.moveaxis(llrs, 0, -3)
+    else:
+        # Symbol-parallel path (the per-symbol lax.scan serialized ~5x of
+        # this chain's single-chip throughput): the differential reference
+        # is just the previous symbol's equalized value, and the
+        # EMA/variance instability chain is a first-order LINEAR recurrence
+        # — both computable in parallel (shifted array; log-depth
+        # associative scan).  Bit-exact with scan_fn for every non-D8PSK
+        # modulation.
+        mags = jnp.abs(eq)                       # [..., S, D]
+        ema_before = _affine_prefix(mags, mags[..., 0, :], MAG_EMA_ALPHA)
+        delta = mags - ema_before
+        var_before = _affine_prefix(delta * delta,
+                                    jnp.zeros_like(mags[..., 0, :]),
+                                    MAG_EMA_ALPHA)
+        norm_var = var_before / jnp.maximum(ema_before * ema_before, 1e-6)
+        nv_eff = carrier_nv * ce_margin * (1.0 + CARRIER_ADAPTIVE_K * norm_var)
+        prev_all = jnp.concatenate(
+            [jnp.ones_like(eq[..., :1, :]), eq[..., :-1, :]], axis=-2)
+        llrs = _demap(mod, eq, prev_all, nv_eff)  # [..., S, D, bps]
     soft = llrs.reshape(llrs.shape[:-3] + (S * D * BITS_PER_SYMBOL[mod],))
 
     h_mag = jnp.abs(H_data)

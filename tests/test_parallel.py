@@ -149,6 +149,153 @@ def test_mesh_sharded_rx_production_geometry(prod_cfg):
     assert (got == info).all()
 
 
+def test_stream_rx_two_frames_topk(prod_cfg):
+    """Two frames in one sharded stream window BOTH decode (top_k) — one
+    interior to a block, one straddling a shard boundary (VERDICT r2
+    item 7: the old path took the single global argmax)."""
+    from ria_tpu.phy.pipeline import make_tx_pipeline
+
+    rng = np.random.default_rng(13)
+    code = get_code("R1_4")
+    block = 65536
+    infos, txs = [], []
+    for _ in range(2):
+        info = rng.integers(0, 2, (NCW, code.k)).astype(np.uint8)
+        coded = np.asarray(make_encoder("R1_4")(info)).reshape(1, NCW * 648)
+        infos.append(info)
+        txs.append(np.asarray(make_tx_pipeline(prod_cfg, NCW)(coded))[0])
+    total = 8 * block
+    audio = np.zeros(total, np.float32)
+    p0, p1 = 5000, 4 * block - 2000  # p1 straddles the block 3->4 boundary
+    audio[p0 : p0 + len(txs[0])] = txs[0]
+    audio[p1 : p1 + len(txs[1])] = txs[1]
+    rms = float(np.sqrt(np.mean(txs[0] ** 2)))
+    audio += rng.normal(0, rms * 10 ** (-10 / 20), total).astype(np.float32)
+
+    mesh = make_stream_mesh(8)
+    rx = make_stream_rx(mesh, prod_cfg, "R1_4", NCW, block, top_k=2)
+    out = {k: np.asarray(v) for k, v in jax.block_until_ready(rx(audio)).items()}
+    assert out["detected"].all()
+    assert {int(s) for s in out["start"]} == {p0, p1}
+    assert out["cw_success"].all()
+    k = code.k
+    by_start = {int(s): out["info_bits"][i, :, :k]
+                for i, s in enumerate(out["start"])}
+    assert (by_start[p0] == infos[0]).all()
+    assert (by_start[p1] == infos[1]).all()
+
+
+def test_ofdm_stream_rx_boundary_straddle():
+    """Sequence-parallel OFDM RX (VERDICT r2 item 2): a Schmidl-Cox frame
+    whose preamble straddles a shard boundary is found at the exact sample
+    and every codeword decodes; the assembled bins reproduce the
+    single-chip demodulator."""
+    from ria_tpu.fec.ldpc_matrix import get_code
+    from ria_tpu.parallel.stream import make_ofdm_stream_rx
+    from ria_tpu.phy.frame_v2 import encode_fixed_frame
+    from ria_tpu.wave.ofdm import OFDMConfig, tx_frame
+
+    cfg = OFDMConfig(modulation="DQPSK", use_pilots=False)
+    rate = "R1_2"
+    ci = cfg.bits_per_ofdm_symbol()
+    block = 16384
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 256, 4 * (get_code(rate).k // 8)).astype(np.uint8).tobytes()
+    tx = np.asarray(tx_frame(encode_fixed_frame(payload, rate, ci), cfg,
+                             preamble="cox"), np.float32)
+    total = 8 * block
+    pos = 3 * block - 3000  # preamble straddles the block 2->3 boundary
+    audio = np.zeros(total, np.float32)
+    audio[pos : pos + len(tx)] = tx
+    rms = float(np.sqrt(np.mean(tx**2)))
+    audio += rng.normal(0, rms * 10 ** (-15 / 20), total).astype(np.float32)
+
+    mesh = make_stream_mesh(8)
+    rx = make_ofdm_stream_rx(mesh, cfg, rate, block, ci)
+    out = jax.block_until_ready(rx(audio))
+    assert bool(out["detected"])
+    assert int(out["lts_start"]) == pos + 5 * cfg.symbol_samples
+    assert np.asarray(out["cw_success"]).all()
+
+
+def test_ofdm_mesh_sharded_rx_with_pallas_interpret():
+    """Batch-mesh OFDM RX (VERDICT r2 items 2+3): 16 channels over the
+    8-device mesh, per-device LDPC through the PALLAS kernel (interpreter
+    on CPU — same kernel logic that compiles on TPU)."""
+    from ria_tpu.fec.ldpc_matrix import get_code
+    from ria_tpu.parallel.mesh import make_mesh, make_sharded_ofdm_rx
+    from ria_tpu.phy.frame_v2 import encode_fixed_frame
+    from ria_tpu.wave.ofdm import OFDMConfig, tx_frame
+
+    cfg = OFDMConfig(modulation="DQPSK", use_pilots=False)
+    rate = "R1_2"
+    ci = cfg.bits_per_ofdm_symbol()
+    B = 16
+    S = cfg.num_symbols_for_bits(4 * 648)
+    window = cfg.preamble_samples + (2 + S) * cfg.symbol_samples + 6000
+    rng = np.random.default_rng(6)
+    audio = np.zeros((B, window), np.float32)
+    for b in range(B):
+        payload = rng.integers(0, 256, 4 * (get_code(rate).k // 8)).astype(np.uint8).tobytes()
+        tx = np.asarray(tx_frame(encode_fixed_frame(payload, rate, ci), cfg,
+                                 preamble="cox"), np.float32)
+        lead = int(rng.integers(0, 3000))
+        audio[b, lead : lead + len(tx)] = tx
+        rms = float(np.sqrt(np.mean(tx**2)))
+    audio += rng.normal(0, rms * 10 ** (-15 / 20), audio.shape).astype(np.float32)
+
+    mesh = make_mesh(8)
+    rx = make_sharded_ofdm_rx(mesh, cfg, rate, window, ci,
+                              pallas_interpret=True)
+    out = jax.block_until_ready(rx(audio))
+    assert np.asarray(out.detected).all()
+    assert np.asarray(out.cw_success).all()
+
+
+@pytest.mark.slow
+def test_distributed_two_process_decode():
+    """A REAL 2-process jax.distributed run (VERDICT r2 item 4): spawn two
+    CPU processes with a local coordinator, build the (ch=2, t=4) hybrid
+    mesh across them, assemble a cross-host array from per-process rows
+    (put_stream_rows + psum check), and decode one boundary-straddling
+    MC-DPSK frame through the sharded stream RX on that mesh."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, worker, str(i), str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              env=env, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        last = [l for l in out.strip().splitlines() if l.startswith("WORKER_OK")]
+        assert last, f"worker {i} no result:\n{out[-2000:]}"
+        _, pid, start, cw_ok, s0, s1 = last[-1].split()
+        assert int(pid) == i
+        assert int(cw_ok) == 1
+        # Cross-host rows: row h was fed only by process h with value h+1.
+        assert int(s0) == 1 * 4096 and int(s1) == 2 * 4096
+
+
 def test_distributed_single_process_helpers():
     """Multi-host helpers degenerate correctly on one process: hybrid mesh
     (ch=1, t=8), process-count init no-op, and put_stream sharding."""
