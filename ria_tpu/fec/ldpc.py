@@ -308,8 +308,27 @@ def decode_with_retries(llrs: np.ndarray, rate: str, max_iters: int | None = Non
                         jnp.asarray(iters), jnp.asarray(llr_total))
 
 
+def candidate_plan(num_failed: int) -> list[tuple[str, float]]:
+    """(variant kind, min-sum factor) rows per codeword for
+    decode_candidates, scaled by how many codewords actually FAILED the
+    primary decode (VERDICT r2 item 10: the old flat 31x5 grid built a
+    155x host matrix per call regardless).  Factor diversity concentrates
+    on the unmodified LLRs; perturbation probes carry one or two factors
+    each — the noise probes already diversify the trajectory."""
+    ladder = (0.9375, 0.875, 0.75, 0.625, 0.5)
+    plan = [("base", f) for f in ladder]
+    plan += [("clip", 0.9375), ("half", 0.9375)]
+    for k in (16, 32, 64):
+        plan += [(f"erase{k}", 0.9375), (f"erase{k}", 0.75)]
+    n_noise = 4 * max(1, min(num_failed, 4))
+    sigmas = (0.3, 0.7, 1.2, 2.0)
+    for j in range(n_noise):
+        plan.append((f"noise{j}:{sigmas[j % 4]}", 0.9375))
+    return plan
+
+
 def decode_candidates(llrs: np.ndarray, rate: str, max_iters: int | None = None,
-                      max_per_cw: int = 4):
+                      max_per_cw: int = 4, num_failed: int = 4):
     """CRC-aided list decoding support: distinct candidate codewords per CW.
 
     At 648 bits this code (the reference's PEG-like construction) has
@@ -318,33 +337,43 @@ def decode_candidates(llrs: np.ndarray, rate: str, max_iters: int | None = None,
     good as the true codeword's — an undetectable-by-metric ML ambiguity
     (observed: wrong m/sum|llr| = 0.998 vs truth 0.997).  The frame CRC can
     arbitrate, but needs the alternatives: this decodes a batch of
-    perturbed/scaled LLR variants per codeword across several min-sum
-    factors (one batched decode per factor — the TPU way) and returns, for
-    each codeword, up to max_per_cw DISTINCT successful codewords sorted by
-    descending correlation metric sum(llr * (1-2*coded)).
+    perturbed/scaled LLR variants per codeword (one batched device call
+    with per-row min-sum factors) and returns, for each codeword, up to
+    max_per_cw DISTINCT successful codewords sorted by descending
+    correlation metric sum(llr * (1-2*coded)).
+
+    num_failed bounds the probe set (candidate_plan): worst case is
+    29 rows/CW = 116 rows for a 4-CW frame (~0.3 MB) vs the old flat
+    155x grid's 620.
     """
     llrs = np.asarray(llrs, np.float32)
     B = llrs.shape[0]
     rng = np.random.default_rng(0xC0DE)
-    variants = [llrs, np.clip(llrs, -10, 10), llrs * 0.5]
-    # Erasure variants: zero the k least-reliable bits so BP resolves them
-    # from parity alone — deterministic probes of the ambiguity region.
     order = np.argsort(np.abs(llrs), axis=1)
-    for k in (16, 32, 64):
-        v = llrs.copy()
-        v[np.repeat(np.arange(B), k), order[:, :k].reshape(-1)] = 0.0
-        variants.append(v)
-    for sigma in (0.3, 0.7, 1.2, 2.0):
-        for _ in range(4):
-            variants.append(llrs + rng.normal(0, sigma, llrs.shape).astype(np.float32))
-    stacked = np.concatenate(variants, axis=0)                # [V*B, n]
+    plan = candidate_plan(num_failed)
+    rows = np.empty((len(plan), B, llrs.shape[1]), np.float32)
+    factors = np.empty(len(plan) * B, np.float32)
+    for i, (kind, f) in enumerate(plan):
+        if kind == "base":
+            v = llrs
+        elif kind == "clip":
+            v = np.clip(llrs, -10, 10)
+        elif kind == "half":
+            v = llrs * 0.5
+        elif kind.startswith("erase"):
+            k = int(kind[5:])
+            v = llrs.copy()
+            # Zero the k least-reliable bits so BP resolves them from
+            # parity alone — deterministic probes of the ambiguity region.
+            v[np.repeat(np.arange(B), k), order[:, :k].reshape(-1)] = 0.0
+        else:  # noise probe
+            sigma = float(kind.split(":")[1])
+            v = llrs + rng.normal(0, sigma, llrs.shape).astype(np.float32)
+        rows[i] = v
+        factors[i * B : (i + 1) * B] = f
+    full = rows.reshape(len(plan) * B, llrs.shape[1])
     enc = make_encoder(rate)
     cands: list[dict] = [dict() for _ in range(B)]
-    # All five retry factors over all variants in ONE device call
-    # (per-row-factor decoder): [5*V*B, n].
-    ladder = (0.9375, 0.875, 0.75, 0.625, 0.5)
-    full = np.concatenate([stacked] * len(ladder), axis=0)
-    factors = np.repeat(np.asarray(ladder, np.float32), stacked.shape[0])
     r = decode_batch(full, factors, rate, max_iters)
     s = np.asarray(r.success)
     if s.any():

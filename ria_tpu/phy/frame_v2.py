@@ -102,6 +102,11 @@ class WaveformMode(enum.IntEnum):
     # (dpsk.hpp:1118), never factory-reachable; here it is a creatable
     # waveform.  Never auto-negotiated — selection tables don't emit it.
     DPSK = 0x06
+    # Extension: experimental AFDM (c1=0 audio profile).  The reference
+    # builds AFDM into ultra_core but never reaches it from its factory
+    # (SURVEY.md §2.3); here it is factory-creatable for experimentation
+    # and never auto-negotiated — selection tables don't emit it.
+    AFDM = 0x07
     AUTO = 0xFF
 
 
@@ -492,7 +497,8 @@ def decode_fixed_frame(soft: np.ndarray, rate: str = "R1_4",
     # search instead of burning ~seconds per undecodable window.
     if int(oks.sum()) < 2:
         return oks, None
-    cands = decode_candidates(cw_soft, rate)
+    cands = decode_candidates(cw_soft, rate,
+                              num_failed=int((~oks).sum()))
     if all(len(c) > 0 for c in cands):
         import itertools
 

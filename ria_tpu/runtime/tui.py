@@ -95,6 +95,13 @@ class TuiState:
     messages: list = field(default_factory=list)   # (dir, text)
     input_line: str = ""
     running: bool = True
+    # Compose mode: printable keys go to the input line ONLY while
+    # composing (entered with ':' or Enter) — bare c/d/b/q/s/r stay
+    # single-key commands and can never eat the first letter of a message
+    # ("bye", "call at 9", ...).
+    composing: bool = False
+    show_settings: bool = False
+    recording: bool = False
 
 
 class TuiApp:
@@ -108,10 +115,20 @@ class TuiApp:
 
     def __init__(self, mycall: str = "N0CALL", peer: str = "VIRT",
                  sim_channel=None, seed: int = 42, audio_backend=None,
-                 settings=None):
+                 settings=None, settings_path=None,
+                 record_prefix: str = "/tmp/ria_tui"):
+        from ria_tpu.config import AppSettings
+        from ria_tpu.protocol.engine import ProtocolEngine
+
         self.state = TuiState()
         self.peer = peer
-        self.settings = settings
+        self.settings_path = settings_path
+        if settings is None and settings_path is not None:
+            settings = AppSettings.load(settings_path)
+        self.settings = settings or AppSettings()
+        self.record_prefix = record_prefix
+        self._rec_files = None
+        self.file_progress = None
         self.sim = None
         self.audio = None
         if sim_channel is not None:
@@ -122,14 +139,26 @@ class TuiApp:
             self.station.callsign = mycall
             self.station.conn.set_local_callsign(mycall)
             self.peer = "BRAVO"
-            self.sim.bravo.conn.on_message = self._peer_got
+            # Full engine on the virtual peer too, so file transfers and
+            # compressed messages round-trip in sim mode.
+            self.peer_engine = ProtocolEngine(conn=self.sim.bravo.conn)
+            self.peer_engine.on_message = self._peer_got
+            self.peer_engine.on_file_received = \
+                lambda name, data, ok: self._log(
+                    "peer", f"file {name!r} received ({len(data)} B, ok={ok})")
         else:
             from ria_tpu.phy.station import Station
             from ria_tpu.runtime.audio import AudioEngine, LoopbackBackend
 
             self.station = Station(mycall)
             self.audio = AudioEngine(backend=audio_backend or LoopbackBackend(),
-                                     rx_callback=self.station.feed_audio)
+                                     rx_callback=self._rx_tee)
+        # ProtocolEngine over the station's connection: message
+        # compression/encryption + file transfer with progress (the
+        # reference GUI's file panel, app.hpp).
+        self.engine = ProtocolEngine(conn=self.station.conn)
+        self.engine.files.on_progress = self._on_file_progress
+        self.engine.on_file_received = self._on_file_received
         self.monitor = ModemMonitor(self.station)
 
         def _observe(rx):
@@ -141,9 +170,9 @@ class TuiApp:
                 self.monitor.constellation.push(syms)
 
         self.station.on_rx_frame = _observe
-        self.station.conn.on_message = self._got_message
-        self.station.conn.on_connected = lambda: self._log("sys", "CONNECTED")
-        self.station.conn.on_disconnected = \
+        self.engine.on_message = self._got_message
+        self.engine.on_connected = lambda: self._log("sys", "CONNECTED")
+        self.engine.on_disconnected = \
             lambda r: self._log("sys", f"DISCONNECTED ({r})")
 
     # ------------------------------------------------------------- events
@@ -173,26 +202,151 @@ class TuiApp:
     def send_message(self, text: str):
         if not text:
             return
-        self.station.conn.send_message(text.encode())
+        if text.startswith("/file "):
+            self.send_file(text[6:].strip())
+            return
+        if text.startswith("/set "):
+            parts = text[5:].split(None, 1)
+            if len(parts) == 2:
+                self.apply_setting(parts[0], parts[1])
+            else:
+                self._log("sys", "usage: /set <field> <value>")
+            return
+        self.engine.send_message(text.encode())
         self._log("tx", text)
+
+    # --------------------------------------------------------- file transfer
+    def send_file(self, path: str):
+        import os
+
+        if not os.path.isfile(path):
+            self._log("sys", f"no such file: {path}")
+            return
+        with open(path, "rb") as f:
+            data = f.read()
+        self.engine.send_file(os.path.basename(path), data)
+        self._log("sys", f"sending file {path} ({len(data)} B)")
+
+    def _on_file_progress(self, p):
+        self.file_progress = p
+
+    def _on_file_received(self, name: str, data: bytes, ok: bool):
+        self._log("sys", f"file {name!r} received ({len(data)} B, ok={ok})")
+
+    # -------------------------------------------------------------- settings
+    def apply_setting(self, field_name: str, value: str):
+        """Edit an AppSettings field live and persist to the INI (the
+        reference settings widget, docs/CONFIGURATION_SYSTEM.md:20-32)."""
+        from dataclasses import fields as dc_fields
+
+        valid = {f.name: f.type for f in dc_fields(type(self.settings))}
+        if field_name not in valid:
+            self._log("sys", f"unknown setting {field_name!r} "
+                             f"(fields: {', '.join(sorted(valid))})")
+            return
+        cur = getattr(self.settings, field_name)
+        try:
+            if isinstance(cur, bool):
+                new = value.strip().lower() in ("1", "true", "yes", "on")
+            else:
+                new = type(cur)(value.strip())
+        except ValueError:
+            self._log("sys", f"bad value for {field_name}: {value!r}")
+            return
+        setattr(self.settings, field_name, new)
+        self._apply_settings_live(field_name, new)
+        if self.settings_path is not None:
+            self.settings.save(self.settings_path)
+            self._log("sys", f"set {field_name}={new} (saved)")
+        else:
+            self._log("sys", f"set {field_name}={new}")
+
+    def _apply_settings_live(self, field_name: str, value):
+        conn = self.station.conn
+        if field_name == "mycall":
+            self.station.callsign = value
+            conn.set_local_callsign(value)
+        elif field_name == "auto_accept":
+            conn.config.auto_accept = value
+        elif field_name == "compression":
+            self.engine.compression_enabled = value
+        elif field_name == "encryption_key":
+            self.engine.set_encryption_key(value or None)
+        elif field_name == "forced_modulation":
+            conn.config.forced_modulation = None if value == "AUTO" else value
+        elif field_name == "forced_rate":
+            conn.config.forced_rate = None if value == "AUTO" else value
+
+    def render_settings(self) -> list[str]:
+        from dataclasses import asdict
+
+        out = ["settings (edit: :set <field> <value>)"]
+        for k, v in asdict(self.settings).items():
+            out.append(f"  {k:<18} = {v}")
+        return out
+
+    # ------------------------------------------------------------- recording
+    def toggle_recording(self):
+        """RX/TX f32 capture toggle (reference app.hpp:185 RX/TX recording)."""
+        if self._rec_files is None:
+            rx = open(f"{self.record_prefix}_rx.f32", "ab")
+            tx = open(f"{self.record_prefix}_tx.f32", "ab")
+            self._rec_files = (rx, tx)
+            self._orig_feed = self.station.feed_audio
+            self._orig_enqueue = self.station._enqueue_tx
+
+            def feed(samples, _o=self._orig_feed, _f=rx):
+                np.asarray(samples, np.float32).tofile(_f)
+                return _o(samples)
+
+            def enqueue(samples, _o=self._orig_enqueue, _f=tx):
+                np.asarray(samples, np.float32).tofile(_f)
+                return _o(samples)
+
+            self.station.feed_audio = feed
+            self.station._enqueue_tx = enqueue
+            self.state.recording = True
+            self._log("sys", f"recording -> {self.record_prefix}_{{rx,tx}}.f32")
+        else:
+            self.station.feed_audio = self._orig_feed
+            self.station._enqueue_tx = self._orig_enqueue
+            for f in self._rec_files:
+                f.close()
+            self._rec_files = None
+            self.state.recording = False
+            self._log("sys", "recording stopped")
+
+    def _rx_tee(self, samples):
+        self.station.feed_audio(samples)
 
     def handle_key(self, ch: str):
         st = self.state
-        if st.input_line or ch not in ("c", "d", "b", "q"):
+        if st.composing:
             if ch == "\n":
                 self.send_message(st.input_line)
                 st.input_line = ""
+                st.composing = False
+            elif ch == "\x1b":  # Esc cancels
+                st.input_line = ""
+                st.composing = False
             elif ch in ("\x7f", "\b"):
                 st.input_line = st.input_line[:-1]
             elif ch.isprintable():
                 st.input_line += ch
             return
-        if ch == "c":
+        if ch in (":", "\n"):
+            st.composing = True
+            st.input_line = ""
+        elif ch == "c":
             self.connect()
         elif ch == "d":
             self.disconnect()
         elif ch == "b":
             self.beacon()
+        elif ch == "s":
+            st.show_settings = not st.show_settings
+        elif ch == "r":
+            self.toggle_recording()
         elif ch == "q":
             st.running = False
 
@@ -222,8 +376,10 @@ class TuiApp:
                              f"recoveries {cs.recoveries}"
         srows = render_status(status, self.station.conn.link, extra)
 
-        out = [f"ria_tpu operator console — {self.station.callsign}"
-               f"  (c)onnect (d)isconnect (b)eacon (q)uit"]
+        rec = " [REC]" if self.state.recording else ""
+        out = [f"ria_tpu operator console — {self.station.callsign}{rec}"
+               f"  (c)onnect (d)isconnect (b)eacon (s)ettings (r)ec (q)uit"
+               f"  ':' compose"]
         out.append("-" * width)
         for i in range(10):
             left = wrows[i] if i < len(wrows) else ""
@@ -231,11 +387,23 @@ class TuiApp:
             out.append(f"{left:<{wf_w}}  |{right}")
         out.append("-" * width)
         out.extend(srows)
+        fp = self.file_progress
+        if fp is not None:
+            frac = fp.percentage / 100.0
+            bar = "#" * int(20 * frac) + "-" * (20 - int(20 * frac))
+            what = "send" if fp.is_sending else "recv"
+            out.append(f"file   {what} {fp.filename} [{bar}] "
+                       f"{fp.transferred_bytes}/{fp.total_bytes} B "
+                       f"({fp.percentage:.0f}%)")
         out.append("-" * width)
+        if self.state.show_settings:
+            out.extend(self.render_settings())
+            out.append("-" * width)
         for d, m in self.state.messages[-(height - len(out) - 2):]:
             out.append(f"[{d}] {m}")
         out.append("-" * width)
-        out.append("> " + self.state.input_line)
+        prompt = ":" if self.state.composing else ">"
+        out.append(f"{prompt} " + self.state.input_line)
         return out[:height]
 
     def run_curses(self, fps: float = 5.0):  # pragma: no cover - terminal
@@ -317,16 +485,23 @@ class AttachedConsole:
 
     def handle_key(self, ch: str):
         st = self.state
-        if st.input_line or ch not in ("d", "q", "s"):
+        if st.composing:
             if ch == "\n":
                 self.send_message(st.input_line)
                 st.input_line = ""
+                st.composing = False
+            elif ch == "\x1b":
+                st.input_line = ""
+                st.composing = False
             elif ch in ("\x7f", "\b"):
                 st.input_line = st.input_line[:-1]
             elif ch.isprintable():
                 st.input_line += ch
             return
-        if ch == "d":
+        if ch in (":", "\n"):
+            st.composing = True
+            st.input_line = ""
+        elif ch == "d":
             self.disconnect()
         elif ch == "s":
             self.send_command("STATUS")

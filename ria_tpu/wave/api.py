@@ -1103,4 +1103,8 @@ def create_waveform(mode: WaveformMode, modulation: str | None = None,
     if mode == WaveformMode.DPSK:
         return DPSKWaveform(modulation=modulation or "DQPSK",
                             rate=rate or "R1_4", **kw)
+    if mode == WaveformMode.AFDM:
+        from ria_tpu.wave.afdm import AFDMWaveform
+
+        return AFDMWaveform(rate=rate or "R1_4", **kw)
     raise NotImplementedError(f"waveform mode {mode}")

@@ -49,3 +49,70 @@ def test_afdm_audio_profile_roundtrip():
     # constant scale from the OFDM carrier mapping; normalize and compare
     scale = np.mean(rx / qpsk)
     assert np.allclose(rx / scale, qpsk, atol=0.05)
+
+
+def test_afdm_chirped_profile_breaks_audio():
+    """The reference's documented negative finding, DEMONSTRATED
+    (afdm_config.hpp:33-47): a chirped AFDM block (c1 > 0) through the
+    real-audio DSB path overlaps its own 2fc image and the roundtrip EVM
+    explodes, while the c1=0 profile round-trips cleanly.  The waveform
+    wrapper therefore refuses chirped audio profiles outright."""
+    import pytest
+
+    from ria_tpu.dsp.hilbert import analytic_signal
+
+    N = 512
+    fs, fc = 48000.0, 1500.0
+    rng = np.random.default_rng(2)
+    qpsk = ((1 - 2 * rng.integers(0, 2, 30))
+            + 1j * (1 - 2 * rng.integers(0, 2, 30))) / np.sqrt(2)
+    syms = np.zeros(N, np.complex64)
+    syms[6:36] = qpsk.astype(np.complex64)  # 30 carriers, ~560-3280 Hz
+    n = np.arange(N)
+    carrier = np.exp(2j * np.pi * fc * n / fs)
+
+    def dsb_evm(c1):
+        cfg = AFDMConfig(N=N, c1=c1, c2=0.0)
+        x = np.asarray(idaft(jnp.asarray(syms), cfg))  # TIME-domain block
+        tx = np.real(x * carrier).astype(np.float32)   # real audio (DSB)
+        z = np.asarray(analytic_signal(jnp.asarray(tx))) * np.conj(carrier)
+        rx = np.asarray(daft(jnp.asarray(z.astype(np.complex64)), cfg))[6:36]
+        scale = np.mean(rx / qpsk)
+        return float(np.sqrt(np.mean(np.abs(rx / scale - qpsk) ** 2)))
+
+    clean = dsb_evm(0.0)
+    chirped = dsb_evm(1.0 / (2 * N))  # the canonical AFDM c1 = 1/(2N)
+    # c1=0 (OFDM mode): positive-frequency carriers survive the real-audio
+    # path.  c1>0: the quadratic phase sweeps the block across the whole
+    # spectrum, the 2fc image folds onto the signal, and the constellation
+    # is destroyed.
+    assert clean < 0.05, clean
+    assert chirped > 0.5, (clean, chirped)  # ~1.0 measured: unusable
+
+    from ria_tpu.wave.afdm import AFDMWaveform
+
+    with pytest.raises(ValueError, match="c1"):
+        AFDMWaveform(cfg=AFDMConfig(c1=1.0 / 128))
+
+
+def test_afdm_waveform_frame_roundtrip():
+    """Factory-gated AFDMWaveform (WaveformMode.AFDM extension): a real
+    modem roundtrip — ZC-synced, DQPSK-across-blocks differential, LDPC
+    R1/4 — decodes a control frame at 5 dB AWGN, 5/5 seeds."""
+    from ria_tpu.phy.frame_v2 import (ControlFrame, FrameType, WaveformMode,
+                                      hash_callsign)
+    from ria_tpu.wave.api import create_waveform
+
+    wf = create_waveform(WaveformMode.AFDM)
+    fb = ControlFrame(type=FrameType.KEEPALIVE, seq=1,
+                      src_hash=hash_callsign("W1AW"),
+                      dst_hash=hash_callsign("VE3ABC")).serialize()
+    tx = wf.tx_frame(fb)
+    rms = float(np.sqrt(np.mean(tx**2)))
+    for s in range(5):
+        rng2 = np.random.default_rng(100 + s)
+        audio = np.concatenate([np.zeros(3000, np.float32), tx,
+                                np.zeros(3000, np.float32)])
+        audio += rng2.normal(0, rms * 10 ** (-5 / 20), audio.shape).astype(np.float32)
+        ok, got, info = wf.rx_frame(audio, num_codewords=1)
+        assert ok and got[:20] == fb, (s, info)

@@ -92,3 +92,27 @@ def test_r14_bytes_per_codeword():
     # Protocol contract: R1/4 codeword carries 20 usable bytes (162 bits).
     code = get_code("R1_4")
     assert code.k == 162 and code.n == 648
+
+
+def test_decode_candidates_bounded_allocation(monkeypatch):
+    """The CRC-aided candidate search is bounded (VERDICT r2 item 10):
+    the single device call sees at most 29 rows per codeword (116 for a
+    4-CW frame, ~0.3 MB) and scales DOWN when fewer codewords failed."""
+    import ria_tpu.fec.ldpc as L
+
+    seen = {}
+    real = L.decode_batch
+
+    def spy(llrs, factors, rate, max_iters=None):
+        seen["rows"] = llrs.shape[0]
+        return real(llrs, factors, rate, max_iters)
+
+    monkeypatch.setattr(L, "decode_batch", spy)
+    rng = np.random.default_rng(0)
+    llrs = rng.normal(0, 4, (4, 648)).astype(np.float32)
+    L.decode_candidates(llrs, "R1_4", num_failed=4)
+    worst = seen["rows"]
+    assert worst == len(L.candidate_plan(4)) * 4
+    assert worst <= 29 * 4
+    L.decode_candidates(llrs, "R1_4", num_failed=0)
+    assert seen["rows"] < worst  # fewer probes when the primary decode held
