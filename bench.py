@@ -23,16 +23,23 @@ import time
 import numpy as np
 
 
-def _bench_chain(rx, variants, iters: int):
+def _bench_chain(rx, variants, iters: int, trials: int = 2):
+    """Best-of-`trials` pipelined loops: the remote tunnel adds multi-ms
+    dispatch variance per run; the minimum is the honest sustained figure
+    (compute doesn't vary, the RPC path does)."""
     out = rx(variants[0])
     import jax
 
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = rx(variants[i % len(variants)])
-    jax.block_until_ready(out)
-    return time.perf_counter() - t0, out
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = rx(variants[i % len(variants)])
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best, out
 
 
 def _mc_dpsk_case(rng):

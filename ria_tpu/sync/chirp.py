@@ -130,10 +130,10 @@ def _next_pow2(n: int) -> int:
 # Zoom fast path: decimate the correlation lag grid by this factor (the kept
 # spectrum band nfft/_ZOOM_DECIM bins = fs/_ZOOM_DECIM Hz must contain the
 # chirp band + leakage guard; 6 kHz at fs=48k comfortably holds 300-2700 Hz).
-_ZOOM_DECIM = 8
+_ZOOM_DECIM = 16
 # Refinement half-width in samples around the coarse peak (>= _ZOOM_DECIM so
 # the true peak is always inside the refined search).
-_ZOOM_REFINE = 12
+_ZOOM_REFINE = 24
 _ZOOM_MIN_NFFT = 131072
 
 

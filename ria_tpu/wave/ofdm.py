@@ -351,25 +351,32 @@ def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
         return SCSyncResult(jnp.zeros(shape, bool), jnp.full(shape, -1, jnp.int32),
                             f, f, f)
 
-    z = analytic_signal(samples)
-    zc = jnp.conj(z[..., :-half]) * z[..., half:]
-
     def sliding(x, w):
         c = jnp.cumsum(x, axis=-1)
         zero = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
         cs = jnp.concatenate([zero, c], axis=-1)
         return cs[..., w:] - cs[..., :-w]
 
-    # Coarse SC metric on a DECIMATED lag grid: the metric's plateau spans
-    # ~CP samples (96), so stride-8 sampling cannot miss it, the LTS
-    # cross-correlation below refines timing to the sample anyway, and the
-    # full-rate cumsum pair was ~40% of the whole search's device time.
-    # P(d) over window [d+cp, d+cp+half) approximated by the stride-8
-    # comb; the normalization divides the same comb's energies, so the
-    # metric's scale is unchanged.
+    # Coarse SC metric on a MIX + BOX-SUM decimated complex baseband (the
+    # chirp zoom-search trick): multiply by the center-frequency NCO and
+    # sum groups of DEC samples — one fused elementwise pass instead of
+    # the Hilbert transform's 2x 64k-point FFT pair (which was ~45% of
+    # this search's device time).  The 2fc image the mix leaves behind is
+    # noise-like to the STS autocorrelation and the box-sum's sinc already
+    # attenuates it.  The metric's plateau spans ~4 STS symbols, so a
+    # DEC-sample lag grid cannot miss it, and the LTS cross-correlation
+    # below refines timing to the sample.  At fs=48k/center 1500 Hz the
+    # mix contributes EXACTLY fc*half/fs = 16.0 turns to the lag-half
+    # conjugate product, so the CFO angle is unchanged.
     DEC = 8
-    zc_d = zc[..., ::DEC]
-    absz2_d = jnp.square(jnp.abs(z))[..., ::DEC]
+    nblk = n // DEC
+    t_full = jnp.arange(nblk * DEC, dtype=jnp.float32)
+    rot = jnp.exp(-2j * jnp.pi * (cfg.center_freq / cfg.sample_rate) * t_full)
+    zb = (samples[..., : nblk * DEC] * rot).reshape(
+        samples.shape[:-1] + (nblk, DEC)).sum(-1)
+    half_d = half // DEC
+    zc_d = jnp.conj(zb[..., :-half_d]) * zb[..., half_d:]
+    absz2_d = jnp.square(jnp.abs(zb))
     w_d = half // DEC
     P = sliding(zc_d, w_d)                     # P[j] ~ sum over [j*DEC, +half)
     R1 = sliding(absz2_d, w_d)
@@ -450,10 +457,15 @@ def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
     # LTS pair at the refined timing is tighter than either.
     seg_len = sym + L
     seg = jax.vmap(lambda a, s: jax.lax.dynamic_slice(a, (s,), (seg_len,)))(
-        z.reshape(-1, n),
+        samples.reshape(-1, n),
         jnp.clip(lts_pos, 0, max(n - seg_len, 0)).reshape(-1)
     ).reshape(samples.shape[:-1] + (seg_len,))
-    r = jnp.sum(seg[..., :L] * jnp.conj(seg[..., sym : sym + L]), axis=-1)
+    # Analytic transform of just the SLICE (a 4096-pt FFT pair — the whole
+    # point of dropping the full-window Hilbert) kills the 2fc image,
+    # which is itself a coherent LTS repeat and would fold the pair
+    # product onto the real axis (angle -> 0, erasing the CFO).
+    segz = analytic_signal(seg)
+    r = jnp.sum(segz[..., :L] * jnp.conj(segz[..., sym : sym + L]), axis=-1)
     spacing = cfg.sample_rate / sym
     cfo_fine = -jnp.angle(r) * spacing / (2.0 * jnp.pi)
     k = jnp.round((cfo - cfo_fine) / spacing)
