@@ -112,6 +112,43 @@ def _ofdm_case(rng):
     return rx, variants, batch, window
 
 
+def _coherent_case(rng):
+    """North-star config #4: coherent QAM64 R3/4 @ 25 dB (OFDM-COX
+    pilot-assisted MMSE chain — the reference's max-throughput row)."""
+    from ria_tpu.fec.ldpc_matrix import get_code
+    from ria_tpu.phy.frame_v2 import encode_fixed_frame
+    from ria_tpu.phy.pipeline import make_ofdm_rx_pipeline
+    from ria_tpu.wave.api import create_waveform
+    from ria_tpu.wave.ofdm import tx_frame
+
+    import jax
+
+    wf = create_waveform(__import__("ria_tpu.phy.frame_v2", fromlist=["WaveformMode"])
+                         .WaveformMode.OFDM_COX, "QAM64", "R3_4")
+    cfg = wf.cfg
+    rate = "R3_4"
+    ci = wf._ci_bits
+    batch = 64
+    bpc = get_code(rate).k // 8
+    S = cfg.num_symbols_for_bits(4 * 648)
+    window = cfg.preamble_samples + (2 + S) * cfg.symbol_samples + 6000
+
+    audio = np.zeros((batch, window), np.float32)
+    rms = None
+    for b in range(batch):
+        payload = rng.integers(0, 256, 4 * bpc).astype(np.uint8).tobytes()
+        tx = tx_frame(encode_fixed_frame(payload, rate, ci), cfg, preamble="cox")
+        lead = int(rng.integers(0, 3000))
+        audio[b, lead : lead + len(tx)] = tx
+        rms = float(np.sqrt(np.mean(tx**2)))
+    audio += rng.normal(0, rms * 10 ** (-25 / 20), audio.shape).astype(np.float32)
+
+    rx = make_ofdm_rx_pipeline(cfg, rate, window, ci, batch_hint=batch)
+    variants = [jax.device_put(audio + rng.normal(0, 1e-4, audio.shape)
+                               .astype(np.float32)) for _ in range(6)]
+    return rx, variants, batch, window
+
+
 def _ldpc_metrics(rng):
     """Flagship-kernel and serving-path measurements (VERDICT r2 item 3):
     - pallas_cw_per_s / xla_cw_per_s: sustained batched BP throughput of
@@ -222,6 +259,15 @@ def main() -> None:
     odt, oout = _bench_chain(orx, ovariants, oiters)
     ofdm_sps = obatch * owindow * oiters / odt
 
+    # ---- chain 3: coherent QAM64 R3/4 @ 25 dB (north-star config #4) ----
+    qrx, qvariants, qbatch, qwindow = _coherent_case(rng)
+    qout = qrx(qvariants[0])
+    jax.block_until_ready(qout)
+    qok = np.asarray(qout.cw_success)
+    qdet = np.asarray(qout.detected)
+    qdt, qout = _bench_chain(qrx, qvariants, oiters)
+    q_sps = qbatch * qwindow * oiters / qdt
+
     ldpc = _ldpc_metrics(rng)
 
     print(json.dumps({
@@ -243,6 +289,14 @@ def main() -> None:
                 "frames_decoded_per_s": round(obatch * oiters / odt, 2),
                 "detected": int(odet.sum()),
                 "cw_decode_rate": round(float(ook.mean()), 4),
+            },
+            "coherent": {
+                "mode": "QAM64 R3_4 @ 25 dB (config #4)",
+                "samples_per_s": round(q_sps, 1),
+                "vs_realtime": round(q_sps / 48000.0, 2),
+                "frames_decoded_per_s": round(qbatch * oiters / qdt, 2),
+                "detected": int(qdet.sum()),
+                "cw_decode_rate": round(float(qok.mean()), 4),
             },
             "ldpc": ldpc,
         },

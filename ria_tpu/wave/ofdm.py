@@ -383,7 +383,12 @@ def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
     R2 = sliding(absz2_d[..., w_d:], w_d)
     m = min(P.shape[-1], R2.shape[-1])
     P, R1, R2 = P[..., :m], R1[..., :m], R2[..., :m]
-    M = jnp.abs(P) / jnp.sqrt(jnp.maximum(R1 * R2, 1e-20))
+    # -60 dB energy floor (cf. chirp _norm_correlate win_floor): windows of
+    # silence/zero padding hold only numeric residue, and dividing by their
+    # energy mints false metric peaks that can outscore the real preamble.
+    rr = R1 * R2
+    rr_floor = 1e-6 * jnp.max(rr, axis=-1, keepdims=True)
+    M = jnp.abs(P) / jnp.sqrt(jnp.maximum(jnp.maximum(rr, rr_floor), 1e-20))
 
     # offset d has data_start = d + cp -> decimated metric index
     # j = (d + cp) / DEC
@@ -432,7 +437,9 @@ def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
     H = jnp.conj(jnp.fft.fft(jnp.asarray(lts_analytic), nfft))
     xc = jnp.fft.ifft(X * H)[..., : R - L]
     e = sliding(jnp.square(sl.astype(jnp.float32)), L)[..., : xc.shape[-1]]
-    lts_corr_all = jnp.abs(xc) / jnp.sqrt(jnp.maximum(e * ref_energy, 1e-12))
+    e_floor = 1e-6 * jnp.max(e, axis=-1, keepdims=True)
+    lts_corr_all = jnp.abs(xc) / jnp.sqrt(
+        jnp.maximum(jnp.maximum(e, e_floor) * ref_energy, 1e-12))
 
     # Candidate mask inside the slice: [expected-3sym, expected+sym/2]
     # relative to lo (only the front clamp can shift it).

@@ -86,6 +86,63 @@ def stream_main():
         n *= 2
 
 
+def ofdm_stream_main():
+    """Strong scaling of the sequence-parallel OFDM stream RX
+    (parallel/stream.py make_ofdm_stream_rx), mirroring stream_main."""
+    import time
+
+    import jax
+
+    from ria_tpu.fec.ldpc_matrix import get_code
+    from ria_tpu.parallel.stream import make_ofdm_stream_rx, make_stream_mesh
+    from ria_tpu.phy.frame_v2 import encode_fixed_frame
+    from ria_tpu.wave.ofdm import OFDMConfig, tx_frame
+
+    cfg = OFDMConfig(modulation="DQPSK", use_pilots=False)
+    rate = "R1_2"
+    ci = cfg.bits_per_ofdm_symbol()
+    total = 8 * 65536   # ~10.9 s: keeps the ~11k-sample search halo small
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 256, 4 * (get_code(rate).k // 8)).astype(np.uint8).tobytes()
+    tx = np.asarray(tx_frame(encode_fixed_frame(payload, rate, ci), cfg,
+                             preamble="cox"), np.float32)
+    stream = np.zeros(total, np.float32)
+    pos = 3 * 65536 - 3000
+    stream[pos : pos + len(tx)] = tx
+    rms = float(np.sqrt(np.mean(tx**2)))
+    stream += rng.normal(0, rms * 10 ** (-15 / 20), total).astype(np.float32)
+
+    n_avail = len(jax.devices())
+    print(f"OFDM stream strong scaling: {total/48000:.1f}s audio "
+          f"({jax.devices()[0].platform})")
+    base_dt = None
+    n = 1
+    while n <= n_avail:
+        block = total // n
+        mesh = make_stream_mesh(n)
+        try:
+            rx = make_ofdm_stream_rx(mesh, cfg, rate, block, ci)
+        except AssertionError as e:
+            print(f"devices={n}: skipped ({e})")
+            n *= 2
+            continue
+        out = rx(stream)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            out = rx(stream)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        if base_dt is None:
+            base_dt = dt
+        eff = base_dt / (n * dt)
+        ok = float(np.asarray(out["cw_success"]).mean())
+        print(f"devices={n}  block={block}  {dt*1e3:8.2f} ms"
+              f"  {total/dt/1e6:8.1f} Msamp/s  strong-eff={eff:5.2f}  decode={ok:.2f}")
+        n *= 2
+
+
 def main():
     import jax
 
@@ -152,5 +209,7 @@ def main():
 if __name__ == "__main__":
     if "--stream" in _sys.argv:
         stream_main()
+    elif "--ofdm-stream" in _sys.argv:
+        ofdm_stream_main()
     else:
         main()
