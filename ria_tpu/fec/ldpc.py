@@ -194,6 +194,24 @@ def decode_batch(llrs: np.ndarray, factors: np.ndarray, rate: str,
                                             jnp.asarray(factors))
 
 
+def make_tile_decoder(rate: str, max_iters: int | None = None,
+                      min_sum_factor: float = MIN_SUM_FACTOR,
+                      pallas_interpret: bool = False):
+    """(decoder_fn, pad_to) for the sharded/replicated RX paths: the
+    Pallas tile kernel on a TPU backend (or its interpreter when
+    pallas_interpret=True, for CPU-mesh tests), the XLA while_loop decoder
+    elsewhere.  pad_to is the row multiple the caller must zero-pad to
+    (None = no padding needed).  One definition so the backend gate and
+    tile size cannot drift between the four RX paths that use it."""
+    if jax.default_backend() == "tpu" or pallas_interpret:
+        from ria_tpu.fec.ldpc_pallas import make_pallas_decoder
+
+        return make_pallas_decoder(rate, tile=8, max_iters=max_iters,
+                                   min_sum_factor=min_sum_factor,
+                                   interpret=pallas_interpret), 8
+    return make_decoder(rate, max_iters, min_sum_factor), None
+
+
 @functools.lru_cache(maxsize=None)
 def make_encoder(rate: str):
     """Jitted batched systematic encoder: info_bits [B, k] -> codeword [B, 648]."""

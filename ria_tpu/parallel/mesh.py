@@ -18,7 +18,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ria_tpu.fec.ldpc import make_decoder
+from ria_tpu.fec.ldpc import make_decoder, make_tile_decoder
 from ria_tpu.fec.ldpc_matrix import RECOMMENDED_ITERS
 from ria_tpu.phy.pipeline import LDPC_BITS, OFDMRxBatchResult, RxBatchResult
 from ria_tpu.sync.chirp import detect_dual_chirp
@@ -63,17 +63,8 @@ def make_sharded_ofdm_rx(mesh: Mesh, ofdm_cfg, rate: str, window_samples: int,
     ci_gather = channel_perm(ci_bits) if ci_bits else None
     axes = tuple(mesh.axis_names)
 
-    use_pallas = jax.default_backend() == "tpu" or pallas_interpret
-    if use_pallas:
-        from ria_tpu.fec.ldpc_pallas import make_pallas_decoder
-
-        tile = 8
-        decoder = make_pallas_decoder(rate, tile=tile, max_iters=None,
-                                      min_sum_factor=0.9375,
-                                      interpret=pallas_interpret)
-    else:
-        tile = None
-        decoder = make_decoder(rate, None, min_sum_factor=0.9375)
+    decoder, tile = make_tile_decoder(rate, min_sum_factor=0.9375,
+                                      pallas_interpret=pallas_interpret)
 
     def local_rx(audio: jnp.ndarray):
         b = audio.shape[0]
@@ -129,16 +120,8 @@ def make_sharded_rx(mesh: Mesh, cfg: MCDPSKConfig, rate: str, num_codewords: int
     frame_need = (cfg.training_symbols + 1 + n_sym * cfg.spreading) * cfg.samples_per_symbol
     axes = tuple(mesh.axis_names)
 
-    if jax.default_backend() == "tpu" or pallas_interpret:
-        from ria_tpu.fec.ldpc_pallas import make_pallas_decoder
-
-        tile = 8
-        decoder_fn = make_pallas_decoder(rate, tile=tile,
-                                         max_iters=RECOMMENDED_ITERS[rate],
-                                         interpret=pallas_interpret)
-    else:
-        tile = None
-        decoder_fn = make_decoder(rate, RECOMMENDED_ITERS[rate])
+    decoder_fn, tile = make_tile_decoder(rate, RECOMMENDED_ITERS[rate],
+                                         pallas_interpret=pallas_interpret)
 
     def local_rx(audio: jnp.ndarray):
         b = audio.shape[0]

@@ -38,7 +38,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ria_tpu.fec.ldpc import make_decoder
+from ria_tpu.fec.ldpc import make_decoder, make_tile_decoder
 from ria_tpu.fec.ldpc_matrix import RECOMMENDED_ITERS
 from ria_tpu.sync.chirp import detect_dual_chirp
 from ria_tpu.wave.mc_dpsk import MCDPSKConfig, _synth_matrix, soft_from_zsym
@@ -247,18 +247,8 @@ def make_ofdm_stream_rx(mesh: Mesh, ofdm_cfg, rate: str,
     sharded = shard_map(stage, mesh=mesh, in_specs=P("t"),
                         out_specs=(P(), P(), P(), P()), check_vma=False)
 
-    if jax.default_backend() == "tpu" or pallas_interpret:
-        from ria_tpu.fec.ldpc_pallas import make_pallas_decoder
-
-        decoder = make_pallas_decoder(rate, tile=8, max_iters=None,
-                                      min_sum_factor=0.9375,
-                                      interpret=pallas_interpret)
-        pad_to = 8
-    else:
-        from ria_tpu.fec.ldpc import make_decoder
-
-        decoder = make_decoder(rate, None, min_sum_factor=0.9375)
-        pad_to = None
+    decoder, pad_to = make_tile_decoder(rate, min_sum_factor=0.9375,
+                                        pallas_interpret=pallas_interpret)
 
     def rx(audio: jnp.ndarray):
         detected, lts_start, cfo, Y = sharded(audio)
@@ -308,16 +298,8 @@ def make_stream_rx(mesh: Mesh, cfg: MCDPSKConfig, rate: str,
     assert halo <= block_samples, (
         f"block_samples {block_samples} must cover one preamble halo {halo}")
     assert frame_need <= total, "stream shorter than one frame"
-    if jax.default_backend() == "tpu" or pallas_interpret:
-        from ria_tpu.fec.ldpc_pallas import make_pallas_decoder
-
-        decoder = make_pallas_decoder(rate, tile=8,
-                                      max_iters=RECOMMENDED_ITERS[rate],
-                                      interpret=pallas_interpret)
-        pad_to = 8
-    else:
-        decoder = make_decoder(rate, RECOMMENDED_ITERS[rate])
-        pad_to = None
+    decoder, pad_to = make_tile_decoder(rate, RECOMMENDED_ITERS[rate],
+                                        pallas_interpret=pallas_interpret)
     Mmix = np.conj(_synth_matrix(cfg)) / sps  # [sps, C] numpy constant
     perm = [(k + 1, k) for k in range(n - 1)]
 

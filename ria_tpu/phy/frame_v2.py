@@ -617,11 +617,16 @@ def parse_burst_stream(stream: bytes, cw_ok: np.ndarray, group: int,
 
     out: list[tuple[bool, bytes | None]] = []
     f0_span = 4 * bpc
-    h0 = parse_header(stream[:17]) if span_ok(0, f0_span) else None
+    # The shared header bytes records rebuild from live entirely in the
+    # first 17 bytes (CW0): gating h0 on the whole frame-0 span would fail
+    # every continuation frame whenever a frame-0 PADDING codeword faded,
+    # defeating the striping's per-frame isolation.
+    h0 = parse_header(stream[:17]) if span_ok(0, 17) else None
     f0 = None
     if h0 is not None and not h0["is_control"]:
         want = DataFrame.HEADER_SIZE + h0["payload_len"] + DataFrame.CRC_SIZE
-        if want <= f0_span and DataFrame.deserialize(stream[:want]) is not None:
+        if (want <= f0_span and span_ok(0, want)
+                and DataFrame.deserialize(stream[:want]) is not None):
             f0 = stream[:want]
     out.append((f0 is not None, f0))
     rec_size = burst_record_size(rate)

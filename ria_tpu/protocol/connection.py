@@ -227,7 +227,12 @@ class Connection:
             self._timer = min(self._timer, -int(air_ms))
 
     def _next_ctrl_seq(self) -> int:
-        self._ctrl_seq = (self._ctrl_seq + 1) & 0xFFFE  # avoid DISCONNECT_SEQ
+        # Wrap below DISCONNECT_SEQ (0xFFFF).  The old `(x+1) & 0xFFFE`
+        # cleared the LSB every increment, pinning the counter at 0 — which
+        # defeated the ACK-gated proposals' reliance on per-proposal seq
+        # uniqueness (a delayed ACK for an abandoned proposal could apply a
+        # newer different one).
+        self._ctrl_seq = (self._ctrl_seq + 1) % 0xFFFF
         return self._ctrl_seq
 
     def set_local_callsign(self, call: str):
@@ -910,7 +915,13 @@ class Connection:
                     self._mode_change_timer_ms = 0
                     self._mode_change_retries += 1
                     if self._mode_change_retries > self.MODE_CHANGE_MAX_RETRIES:
-                        # Keep the current mode — both ends still agree.
+                        # Keep the current mode (reference behavior,
+                        # connection.cpp:928-933).  If the peer DID apply
+                        # and only the ACKs were lost, the ends diverge
+                        # until a later mode change completes — the
+                        # reference accepts the same residual risk; the
+                        # hardened control profile keeps control traffic
+                        # decodable meanwhile, so recovery stays possible.
                         self._pending_mode_change = None
                     else:
                         self._tx(self._pending_mode_change[1], handshake=False)

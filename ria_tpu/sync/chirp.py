@@ -17,11 +17,12 @@ argmax — there is no coarse/fine stepping; every lag is evaluated at once.
 For large windows a zoom-FFT fast path computes the correlation on a
 decimated lag grid first: the matched-filter output c(tau) = IFFT(X * conj(U))
 has spectrum support limited to the chirp band, so keeping only the first
-nfft/8 bins (0..6 kHz at fs=48k, which contains the 300-2700 Hz band plus its
-leakage tails) and running an nfft/8-point IFFT yields c(8m) EXACTLY
-(critically-sampled band-limited signal) at 1/8 of the transform cost, from a
+nfft/_ZOOM_DECIM bins (a 3 kHz band at D=16/fs=48k, holding the
+300-2700 Hz chirp with a ~300 Hz leakage guard — floors re-measured
+10/10 at -14 dB) and running an nfft/D-point IFFT yields c(D*m)
+(critically-sampled band-limited signal) at 1/D of the transform cost, from a
 single shared rfft of the input.  The coarse argmax is then refined to
-sample resolution with one small MXU matmul (25 shifted-template columns)
+sample resolution with one small MXU matmul (shifted-template columns)
 that also produces the exact normalized correlation value used for
 thresholding — so detection semantics match the full-resolution path.
 """
@@ -127,9 +128,12 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-# Zoom fast path: decimate the correlation lag grid by this factor (the kept
-# spectrum band nfft/_ZOOM_DECIM bins = fs/_ZOOM_DECIM Hz must contain the
-# chirp band + leakage guard; 6 kHz at fs=48k comfortably holds 300-2700 Hz).
+# Zoom fast path: decimate the correlation lag grid by this factor.  The
+# kept band nfft/_ZOOM_DECIM bins = fs/_ZOOM_DECIM Hz must contain the
+# chirp band: at D=16 that is 3 kHz (+/-1500 Hz around the 1500 Hz band
+# center) against the chirp's +/-1200 Hz — a ~300 Hz leakage guard, which
+# measured 10/10 detections at -14 dB with CFO and exact timing
+# (2026-08-21 sweep).  D=32 would alias (band 1500 Hz < chirp width).
 _ZOOM_DECIM = 16
 # Refinement half-width in samples around the coarse peak (>= _ZOOM_DECIM so
 # the true peak is always inside the refined search).

@@ -85,6 +85,18 @@ AFDM_ACTIVE_LO = 6          # active DAFT bins [lo, lo+count): ~560-3375 Hz
 AFDM_ACTIVE_COUNT = 30      # 30 carriers ~ the reference's audio profile
 
 
+def _shift_real(x: np.ndarray, shift_hz: float, fs: float) -> np.ndarray:
+    """True frequency shift of a REAL passband signal: analytic signal ->
+    complex rotate -> real part."""
+    from ria_tpu.dsp.hilbert import analytic_signal
+
+    import jax.numpy as jnp
+
+    z = np.asarray(analytic_signal(jnp.asarray(np.asarray(x, np.float32))))
+    t = np.arange(len(x), dtype=np.float64)
+    return (z * np.exp(2j * np.pi * shift_hz * t / fs)).real.astype(np.float32)
+
+
 class AFDMWaveform:
     """Experimental c1=0 AFDM waveform (see module docstring).
 
@@ -149,7 +161,10 @@ class AFDMWaveform:
             syms = np.zeros(self.cfg.N, np.complex64)
             syms[AFDM_ACTIVE_LO : AFDM_ACTIVE_LO + AFDM_ACTIVE_COUNT] = blk
             out.append(modulate_block(syms, self.cfg))
-        return np.concatenate(out).astype(np.float32)
+        audio = np.concatenate(out).astype(np.float32)
+        if tx_cfo_hz:
+            audio = _shift_real(audio, tx_cfo_hz, self.cfg.sample_rate)
+        return audio
 
     # ------------------------------------------------------------------ RX
     def rx_frame(self, audio: np.ndarray, num_codewords: int = 1):
@@ -174,10 +189,12 @@ class AFDMWaveform:
         seg = np.zeros(need, np.float32)
         avail = np.asarray(audio[start : start + need], np.float32)
         seg[: len(avail)] = avail
-        # CFO-correct the whole span, then per-block DAFT demod.
-        t = np.arange(need, dtype=np.float64)
-        seg_c = (seg * np.exp(-2j * np.pi * cfo * t / self.cfg.sample_rate)).real \
-            .astype(np.float32)
+        # CFO-correct the whole span, then per-block DAFT demod.  A real
+        # signal must go through the analytic signal first: multiplying the
+        # REAL samples by a complex exponential and taking .real is an
+        # amplitude modulation (cos envelope with nulls), not a frequency
+        # shift.
+        seg_c = _shift_real(seg, -cfo, self.cfg.sample_rate)
         sl = AFDM_ACTIVE_LO
         zs = np.stack([
             demodulate_block(seg_c[b * bs : (b + 1) * bs], self.cfg)

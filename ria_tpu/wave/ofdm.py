@@ -365,10 +365,12 @@ def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
     # noise-like to the STS autocorrelation and the box-sum's sinc already
     # attenuates it.  The metric's plateau spans ~4 STS symbols, so a
     # DEC-sample lag grid cannot miss it, and the LTS cross-correlation
-    # below refines timing to the sample.  At fs=48k/center 1500 Hz the
-    # mix contributes EXACTLY fc*half/fs = 16.0 turns to the lag-half
-    # conjugate product, so the CFO angle is unchanged.
+    # below refines timing to the sample.  The mix contributes a constant
+    # fc*half/fs turns to the lag-half conjugate product (exactly 16.0 at
+    # the production fs=48k/fc=1500 geometry); the fractional part is
+    # compensated below so any OFDMConfig geometry stays correct.
     DEC = 8
+    frac_half = float((cfg.center_freq * half / cfg.sample_rate) % 1.0)
     nblk = n // DEC
     t_full = jnp.arange(nblk * DEC, dtype=jnp.float32)
     rot = jnp.exp(-2j * jnp.pi * (cfg.center_freq / cfg.sample_rate) * t_full)
@@ -402,6 +404,7 @@ def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
     # CFO at the peak.
     Pd = P[..., cp_d : cp_d + num_lags]
     P_peak = jnp.take_along_axis(Pd, peak_d[..., None], -1)[..., 0]
+    P_peak = P_peak * np.exp(2j * np.pi * frac_half)  # undo the mix residue
     cfo = jnp.angle(P_peak) * cfg.sample_rate / (jnp.pi * N)
     max_cfo = cfg.sample_rate / N
     cfo = jnp.clip(cfo, -max_cfo, max_cfo)
@@ -473,6 +476,11 @@ def schmidl_cox_search(samples: jnp.ndarray, cfg: OFDMConfig) -> SCSyncResult:
     # product onto the real axis (angle -> 0, erasing the CFO).
     segz = analytic_signal(seg)
     r = jnp.sum(segz[..., :L] * jnp.conj(segz[..., sym : sym + L]), axis=-1)
+    # The passband carrier contributes fc*sym/fs turns to the repeat-pair
+    # product (integer — 35.0 — at the production geometry); compensate
+    # the fractional residue for arbitrary configs.
+    frac_sym = float((cfg.center_freq * sym / cfg.sample_rate) % 1.0)
+    r = r * np.exp(2j * np.pi * frac_sym)
     spacing = cfg.sample_rate / sym
     cfo_fine = -jnp.angle(r) * spacing / (2.0 * jnp.pi)
     k = jnp.round((cfo - cfo_fine) / spacing)

@@ -152,3 +152,30 @@ def test_burst_disabled_when_peer_lacks_support():
     assert sim.run_until(lambda: got, max_ticks=200)
     assert got[0] == b"plain frame path"
     assert sim.alpha.stats.bursts_tx == 0
+
+
+def test_burst_record_isolation_from_frame0_padding_cw():
+    """A faded codeword covering only frame 0's PADDING must not take the
+    continuation frames with it: the shared header bytes live entirely in
+    the first 17 bytes of the stream."""
+    import numpy as np
+
+    from ria_tpu.phy.frame_v2 import (burst_record_size, burst_stream_codewords,
+                                      bytes_per_codeword, build_burst_stream,
+                                      parse_burst_stream)
+
+    rate, G = "R1_2", 8
+    bpc = bytes_per_codeword(rate)
+    frames = [f.serialize() for f in
+              [__import__("ria_tpu.phy.frame_v2", fromlist=["make_fixed_data_frame"])
+               .make_fixed_data_frame("W1AW", "VE3ABC", i, bytes([i]) * 30, rate)
+               for i in range(G)]]
+    stream = build_burst_stream(frames, rate)
+    ncw = burst_stream_codewords(G, rate)
+    stream = stream.ljust(ncw * bpc, b"\x00")
+    oks = np.ones(ncw, bool)
+    oks[2] = False  # frame 0's padding region (bytes 80..119 at R1/2)
+    res = parse_burst_stream(stream, oks, G, rate)
+    assert not res[0][0]                      # frame 0 itself fails
+    assert all(ok for ok, _ in res[1:])       # every record still delivers
+    assert [fb for _, fb in res[1:]] == frames[1:]

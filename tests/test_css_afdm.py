@@ -116,3 +116,30 @@ def test_afdm_waveform_frame_roundtrip():
         audio += rng2.normal(0, rms * 10 ** (-5 / 20), audio.shape).astype(np.float32)
         ok, got, info = wf.rx_frame(audio, num_codewords=1)
         assert ok and got[:20] == fb, (s, info)
+
+
+def test_afdm_waveform_cfo_roundtrip():
+    """rx_frame must truly SHIFT the spectrum for CFO correction (a real
+    multiply-and-take-real is an amplitude modulation that nulls blocks);
+    tx_cfo_hz must actually move the carrier."""
+    from ria_tpu.phy.frame_v2 import (ControlFrame, FrameType, WaveformMode,
+                                      hash_callsign)
+    from ria_tpu.wave.api import create_waveform
+
+    wf = create_waveform(WaveformMode.AFDM)
+    fb = ControlFrame(type=FrameType.KEEPALIVE, seq=2,
+                      src_hash=hash_callsign("W1AW"),
+                      dst_hash=hash_callsign("VE3ABC")).serialize()
+    tx = wf.tx_frame(fb, tx_cfo_hz=10.0)
+    rms = float(np.sqrt(np.mean(tx**2)))
+    ok_n = 0
+    for s in range(5):
+        rng2 = np.random.default_rng(300 + s)
+        audio = np.concatenate([np.zeros(3000, np.float32), tx,
+                                np.zeros(3000, np.float32)])
+        audio += rng2.normal(0, rms * 10 ** (-10 / 20), audio.shape).astype(np.float32)
+        ok, got, info = wf.rx_frame(audio, num_codewords=1)
+        if ok and got[:20] == fb:
+            ok_n += 1
+            assert abs(info["cfo_hz"] - 10.0) < 5.0, info
+    assert ok_n >= 4, ok_n

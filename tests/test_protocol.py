@@ -667,3 +667,15 @@ def test_css_typed_session():
     payload = b"css typed session"
     sim.alpha.conn.send_message(payload)
     assert sim.run_until(lambda: got == [payload], max_ticks=200)
+
+
+def test_ctrl_seq_counter_advances():
+    """The control seq counter must produce distinct values — the ACK-gated
+    MODE_CHANGE/MC_PROFILE proposals key their apply step on seq matches,
+    and a pinned counter lets a stale ACK apply a newer proposal."""
+    from ria_tpu.protocol.connection import Connection, ConnectionConfig
+
+    c = Connection(ConnectionConfig())
+    seqs = [c._next_ctrl_seq() for _ in range(64)]
+    assert len(set(seqs)) == 64
+    assert 0xFFFF not in seqs
