@@ -59,11 +59,16 @@ def cmd_ptx(args) -> int:
                          dst_callsign=args.dst)
         samples = wf.tx_frame(f.serialize())
     else:
+        # DATA frames mirror the reference `ria ptx`: connected mode, light
+        # preamble (src/main.cpp:160-166 setConnected + encodeFrameLight),
+        # seq=1, with a TX lead-in of silence like postProcessTx.
         if wf.mode == WaveformMode.MC_DPSK:
-            frame = DataFrame.make_data(args.src, args.dst, 0, text.encode())
+            frame = DataFrame.make_data(args.src, args.dst, 1, text.encode())
         else:
-            frame = make_fixed_data_frame(args.src, args.dst, 0, text.encode(), wf.rate)
-        samples = wf.tx_frame(frame.serialize())
+            frame = make_fixed_data_frame(args.src, args.dst, 1, text.encode(), wf.rate)
+        body = wf.tx_frame(frame.serialize(), light=True)
+        lead = np.zeros(7200, np.float32)
+        samples = np.concatenate([lead, body, np.zeros(2400, np.float32)])
 
     data = np.asarray(samples, np.float32).tobytes()
     if args.output and args.output != "-":
@@ -142,6 +147,7 @@ def cmd_monitor(args) -> int:
         raw = open(args.input, "rb").read()
     audio = np.frombuffer(raw, np.float32)
     st = Station(args.src)
+    st.promiscuous = True  # observe connected-mode (light) traffic too
     mon = ModemMonitor(st)
     block = 48000 // 4
     decoded = []
@@ -226,6 +232,15 @@ def cmd_info(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Honour RIA_PLATFORM / JAX_PLATFORMS before the first jax import so the
+    # CLI can run on CPU when the TPU tunnel is flaky (reference: the C++ CLI
+    # has no accelerator dependency at all).
+    import os
+
+    from ria_tpu.utils.platform import apply_platform
+
+    apply_platform(os.environ.get("RIA_PLATFORM") or os.environ.get("JAX_PLATFORMS"))
+
     p = argparse.ArgumentParser(prog="ria", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

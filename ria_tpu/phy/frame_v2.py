@@ -175,6 +175,19 @@ def bytes_per_codeword(rate: str) -> int:
     return CODE_PARAMS[rate][0] // 8
 
 
+def calculate_codewords(payload_size: int, rate: str = "R1_4") -> int:
+    """Variable-CW count for a DATA frame: ceil(frame_bits / info_bits).
+
+    Matches the reference DataFrame::calculateCodewords (frame_v2.cpp:438-460)
+    — the serialized total_cw byte is part of the wire format; fixed 4-CW
+    OFDM frames carry the R1/4-based count too (the reference's selective-
+    repeat ARQ and CLI use the default-rate variant).
+    """
+    total_bits = (17 + payload_size + 2) * 8  # header + payload + frame CRC
+    info_bits = CODE_PARAMS[rate][0]
+    return -(-total_bits // info_bits)
+
+
 @dataclass
 class ControlFrame:
     SIZE = 20
@@ -301,9 +314,11 @@ class DataFrame:
 
     @classmethod
     def make_data(cls, src: str, dst: str, seq: int, payload: bytes,
-                  ftype: FrameType = FrameType.DATA) -> "DataFrame":
+                  ftype: FrameType = FrameType.DATA,
+                  rate: str = "R1_4") -> "DataFrame":
         return cls(type=ftype, seq=seq, src_hash=hash_callsign(src),
-                   dst_hash=hash_callsign(dst), payload=payload)
+                   dst_hash=hash_callsign(dst), payload=payload,
+                   total_cw=calculate_codewords(len(payload), rate))
 
 
 @dataclass
@@ -583,11 +598,12 @@ def build_burst_stream(frames: list[bytes], rate: str) -> bytes | None:
     if len(f0) > 4 * bpc or parse_header(f0[:17]) is None:
         return None
     out = bytearray(f0.ljust(4 * bpc, b"\x00"))
-    shared = f0[6:13]  # src3 + dst3 + total_cw
+    shared = f0[6:12]  # src3 + dst3 (total_cw is derived from plen)
     for fb in frames[1:]:
         h = parse_header(fb[:17]) if len(fb) >= 19 else None
-        if (h is None or h["is_control"] or fb[6:13] != shared
+        if (h is None or h["is_control"] or fb[6:12] != shared
                 or h["payload_len"] > min(cap, 255)
+                or fb[12] != calculate_codewords(h["payload_len"])
                 or len(fb) != DataFrame.HEADER_SIZE + h["payload_len"] + 2):
             return None
         plen = h["payload_len"]
@@ -642,7 +658,8 @@ def parse_burst_stream(stream: bytes, cw_ok: np.ndarray, group: int,
                 hdr[2] = rec[0]
                 hdr[3] = rec[1]
                 hdr[4:6] = rec[2:4]
-                hdr[6:13] = stream[6:13]  # src/dst/total_cw from frame 0
+                hdr[6:12] = stream[6:12]  # src/dst from frame 0
+                hdr[12] = calculate_codewords(plen)  # derived, same as TX
                 hdr[13:15] = plen.to_bytes(2, "big")
                 hdr[15:17] = crc16(bytes(hdr[:15])).to_bytes(2, "big")
                 cand = bytes(hdr) + rec[7 : 7 + plen] + rec[5:7]
@@ -654,12 +671,20 @@ def parse_burst_stream(stream: bytes, cw_ok: np.ndarray, group: int,
 
 def make_fixed_data_frame(src: str, dst: str, seq: int, payload: bytes, rate: str,
                           flags_extra: int = 0) -> DataFrame:
+    """Data frame for the fixed 4-CW OFDM path.
+
+    The payload is NOT padded here — encode_fixed_frame zero-pads at the
+    coded level, and the serialized frame keeps the true payload_len +
+    frame CRC right after the payload (reference DataFrame::serialize;
+    verified against the reference `ria ptx` byte stream).  total_cw carries
+    the R1/4 variable-CW count like the reference's makeData default.
+    """
     cap = fixed_frame_payload_capacity(rate)
-    padded = payload[:cap].ljust(cap, b"\x00")
+    payload = payload[:cap]
     flags = Flags.VERSION_V2 | RATE_NAME_TO_FLAG.get(rate, 0) | flags_extra
     return DataFrame(type=FrameType.DATA, flags=flags, seq=seq,
                      src_hash=hash_callsign(src), dst_hash=hash_callsign(dst),
-                     total_cw=FRAME_CODEWORDS, payload=padded)
+                     total_cw=calculate_codewords(len(payload)), payload=payload)
 
 
 def parse_header(cw0: bytes) -> dict | None:

@@ -64,6 +64,9 @@ class Station:
         self.conn = Connection(config)
         self.conn.set_local_callsign(callsign)
         self.stats = StationStats()
+        # Monitor mode: search light/data preambles even when disconnected
+        # (set by runtime.monitor / `ria monitor`).
+        self.promiscuous = False
         # CSS acquisition preambles on the handshake waveform (reference
         # --css): frame type from the chirp's cyclic shift.
         self.use_css = use_css
@@ -428,6 +431,14 @@ class Station:
                 # still arrive.
                 wf, light = self.handshake_wf, False
                 sync = self._windowed_detect(wf, False)
+            if sync is None and not connected and self.promiscuous:
+                # Monitor mode: also search light (data) preambles out of
+                # session — a passive observer sees connected-mode traffic
+                # it never negotiated (the reference modem cannot; its prx
+                # forces connected mode for the same effect, main.cpp:221).
+                sync = self._windowed_detect(self.data_wf, True)
+                if sync is not None:
+                    wf, light = self.data_wf, True
             if sync is None and not connected:
                 # Idle stations also listen for the MFSK last-resort
                 # handshake (a peer past its DPSK CONNECT budget,

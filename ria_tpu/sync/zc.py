@@ -176,6 +176,14 @@ def detect(samples: jnp.ndarray, cfg: ZCConfig, root_mask: int = ROOT_MASK_ALL,
     rx_energy = cs[..., rep : rep + num_lags] - cs[..., :num_lags]
     ref_energy = float(rep)
     denom = jnp.sqrt(jnp.maximum(rx_energy * ref_energy, 1e-20))
+    # -60 dB relative energy floor (cf. chirp _norm_correlate win_floor):
+    # windows of digital silence hold only FFT leakage in corr, and the
+    # ~zero denominator mints corr >> 1 false peaks (bit the round-4
+    # interop harness on the reference TX's zero lead-in).  Such windows
+    # cannot host a detectable preamble — mark them invalid: their mag is
+    # zeroed below and the CFAR floor is averaged over VALID lags only, so
+    # the detector's statistics are unchanged when no silence is present.
+    lag_valid = rx_energy >= 1e-6 * jnp.max(rx_energy, axis=-1, keepdims=True)
 
     BB = jnp.fft.fft(bb, nfft)
 
@@ -190,15 +198,20 @@ def detect(samples: jnp.ndarray, cfg: ZCConfig, root_mask: int = ROOT_MASK_ALL,
     norm_corr = corr / denom[..., None, :]
     mag = jnp.abs(norm_corr)
     enabled_mask = jnp.asarray(enabled)[..., :, None]
-    mag = jnp.where(enabled_mask, mag, 0.0)
+    mag = jnp.where(enabled_mask & lag_valid[..., None, :], mag, 0.0)
 
     peak_pos = jnp.argmax(mag, axis=-1).astype(jnp.int32)        # [..., 4]
     peak_mag = jnp.take_along_axis(mag, peak_pos[..., None], -1)[..., 0]
 
-    # Correlation floor per root (mean |corr| over all lags; the two preamble
-    # peaks contribute negligibly to a ~46k-lag mean).  Used by both the
-    # low-SNR repetition disambiguation below and the CFAR detector.
-    floor = jnp.mean(mag, axis=-1)                               # [..., 4]
+    # Correlation floor per root (mean |corr| over VALID lags; the two
+    # preamble peaks contribute negligibly to a ~46k-lag mean).  Used by
+    # both the low-SNR repetition disambiguation below and the CFAR
+    # detector.  Silence lags are excluded so they neither inflate (old
+    # 1/denom blowup) nor deflate (zeroed mag) the noise statistic.
+    n_valid = jnp.maximum(
+        jnp.sum(jnp.where(enabled_mask & lag_valid[..., None, :], 1.0, 0.0),
+                axis=-1), 1.0)
+    floor = jnp.sum(mag, axis=-1) / n_valid                      # [..., 4]
 
     # Earliest-repetition timing adjustment (40% rule).  In the CFAR regime
     # (peak below the absolute threshold) argmax can land on repetition 2;

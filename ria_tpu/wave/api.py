@@ -437,11 +437,16 @@ class _OFDMWaveformBase:
         self._rebuild()
 
     def _rebuild(self):
-        use_pilots = self.modulation in ("BPSK", "QPSK", "QAM16", "QAM32", "QAM64", "QAM256")
+        # Pilots are ALWAYS on for the OFDM waveforms — the reference's
+        # deterministic pilot profile (ofdm_chirp_waveform.cpp:75-79,
+        # ofdm_link_adaptation.hpp:26-64) is part of the wire format;
+        # differential modes carry pilots too (53 data + 6 pilots at DQPSK).
         spacing = recommended_pilot_spacing(self.modulation, self.rate)
         self.cfg = ofdm.OFDMConfig(modulation=self.modulation,
-                                   use_pilots=use_pilots, pilot_spacing=spacing)
-        self.ctrl_cfg = ofdm.OFDMConfig(modulation="DQPSK", use_pilots=False)
+                                   use_pilots=True, pilot_spacing=spacing)
+        # Control profile = configure(DQPSK, R1_4): pilots spacing 10.
+        self.ctrl_cfg = ofdm.OFDMConfig(modulation="DQPSK", use_pilots=True,
+                                        pilot_spacing=10)
 
     def configure(self, modulation: str, rate: str):
         self.modulation = modulation
@@ -453,6 +458,28 @@ class _OFDMWaveformBase:
         if not self.channel_interleave:
             return None
         return self.cfg.bits_per_ofdm_symbol()
+
+    def _light_lts_search(self, x):
+        """LTS search against the DATA-mode layout, then the CONTROL
+        profile's (DQPSK R1/4, pilot spacing 10) when the two differ.
+
+        Control frames are transmitted with the hardened control profile
+        (streaming_encoder.cpp:218-226), whose pilot layout — and hence LTS
+        waveform — differs from a coherent data mode's (e.g. QAM16 spacing
+        5).  The reference correlates only against the data-mode template
+        and its own in-session control frames fail sync at coherent modes
+        (measured: corr 0.57 < 0.62 gate on its own `ria ptx disconnect`
+        at QAM16 R1/2); searching both templates fixes the asymmetry here
+        and still decodes reference peers' control frames."""
+        res = ofdm.lts_search(x, self.cfg)
+        if bool(res.detected):
+            return res
+        _, data_bins, _ = ofdm.carrier_layout(self.cfg)
+        _, ctrl_bins, _ = ofdm.carrier_layout(self.ctrl_cfg)
+        if np.array_equal(data_bins, ctrl_bins):
+            return res
+        res2 = ofdm.lts_search(x, self.ctrl_cfg)
+        return res2 if bool(res2.detected) else res
 
     def _encode(self, frame_bytes: bytes):
         """-> (bits, cfg_used, is_ctrl)."""
@@ -657,7 +684,7 @@ class OFDMCoxWaveform(_OFDMWaveformBase):
     def detect_sync(self, audio: np.ndarray, light: bool = False):
         x = jnp.asarray(np.asarray(audio, np.float32))
         if light:
-            res = ofdm.lts_search(x, self.cfg)
+            res = self._light_lts_search(x)
             if not bool(res.detected):
                 return None
             return {"start": int(res.lts_start), "cfo_hz": float(res.cfo_hz),
@@ -720,7 +747,7 @@ class OFDMChirpWaveform(_OFDMWaveformBase):
     def detect_sync(self, audio: np.ndarray, light: bool = False):
         x = jnp.asarray(np.asarray(audio, np.float32))
         if light:
-            res = ofdm.lts_search(x, self.cfg)
+            res = self._light_lts_search(x)
             if not bool(res.detected):
                 return None
             return {"start": int(res.lts_start), "cfo_hz": float(res.cfo_hz),

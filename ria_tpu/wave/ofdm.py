@@ -66,6 +66,12 @@ class OFDMConfig:
     center_freq: float = 1500.0
     fft_size: int = 1024
     num_carriers: int = 59
+    # CP MEDIUM profile: base 48 x (1024/512) = 96 samples.  The modem
+    # runtime's over-the-air CP: ModemEngine ctor pushes its ModemConfig
+    # (cp_mode=MEDIUM, types.hpp:208) into the encoder/decoder via
+    # setOFDMConfig, overriding the StreamingEncoder ctor's LONG default —
+    # verified against `ria ptx` fixtures (30240-sample light frame =
+    # 2x1120 LTS + 25x1120 data symbols).
     cp_len: int = 96
     symbol_guard: int = 0
     output_scale: float = 40.0
@@ -214,7 +220,14 @@ def constellation_table(mod: str) -> np.ndarray:
 # ============================================================================
 
 def _bits_to_carrier_symbols(bits: np.ndarray, cfg: OFDMConfig) -> np.ndarray:
-    """bits -> per-carrier constellation/differential symbols [S, D]."""
+    """bits -> per-carrier constellation/differential symbols [S, D].
+
+    Carriers whose bit group starts past the end of the data transmit ZERO
+    (the reference modulator's per-carrier loop exits when data runs out and
+    pads the remaining carriers with 0 — modulator.cpp modulate(); only the
+    last symbol is affected).  A carrier that straddles the end gets
+    zero-padded bits and is still transmitted.
+    """
     bpc = BITS_PER_SYMBOL[cfg.modulation]
     D = cfg.num_data_carriers
     per_sym = D * bpc
@@ -226,11 +239,15 @@ def _bits_to_carrier_symbols(bits: np.ndarray, cfg: OFDMConfig) -> np.ndarray:
     for b in range(bpc):
         vals = (vals << 1) | grouped[..., b]
     table = constellation_table(cfg.modulation)
+    # Active mask: carrier (s, d) is transmitted iff its first bit index is
+    # within the real data.
+    start = (np.arange(S)[:, None] * D + np.arange(D)[None, :]) * bpc
+    active = start < len(bits)
     if cfg.modulation in DIFFERENTIAL:
         rot = table[vals]
         sym = np.cumprod(rot, axis=0)  # differential from all-ones reference
-        return sym.astype(np.complex64)
-    return table[vals]
+        return np.where(active, sym, 0).astype(np.complex64)
+    return np.where(active, table[vals], 0).astype(np.complex64)
 
 
 def _ofdm_symbols_to_time(carrier_syms: np.ndarray, cfg: OFDMConfig,
@@ -550,7 +567,12 @@ def lts_search(samples: jnp.ndarray, cfg: OFDMConfig, threshold: float = 0.5) ->
     zero = jnp.zeros(samples.shape[:-1] + (1,), jnp.float32)
     cs = jnp.concatenate([zero, c], axis=-1)
     e = (cs[..., L:] - cs[..., :-L])[..., : xc.shape[-1]]
-    corr = jnp.abs(xc) / jnp.sqrt(jnp.maximum(e * ref_energy, 1e-12))
+    # -60 dB energy floor (cf. chirp _norm_correlate win_floor): windows of
+    # digital silence hold only FFT leakage residue in xc; dividing that by
+    # a vanishing window energy mints corr > 1 false peaks (bit the round-4
+    # interop harness on the reference TX's zero lead-in).
+    e_floor = 1e-6 * jnp.max(e, axis=-1, keepdims=True)
+    corr = jnp.abs(xc) / jnp.sqrt(jnp.maximum(jnp.maximum(e, e_floor) * ref_energy, 1e-12))
 
     # EARLIEST detection above threshold, not the global argmax: several
     # back-to-back light frames can sit in one search window (a selective-

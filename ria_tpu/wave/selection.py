@@ -174,21 +174,15 @@ def recommend_otfs_mode(snr_db: float) -> tuple[str, str]:
 
 
 def recommended_pilot_spacing(modulation: str, rate: str) -> int:
-    """Reference include/ultra/ofdm_link_adaptation.hpp:26-60.
+    """Reference include/ultra/ofdm_link_adaptation.hpp:26-64, exactly.
 
-    Exception: QAM16 R1/2 runs spacing 20 (56 data + 3 pilots) — the
-    reference's own README benchmark row (README.md:80, "~4800 bps") is
-    exactly 56 x 4 x 42.86 x 1/2, and this waveform's equalizer uses pilots
-    only for common-phase correction (3 pilots suffice; verified decode at
-    18 dB AWGN / good fading in tests).  QPSK R1/2 gets the same trim: its
-    operating point (20+ dB stable, README.md:86) is strictly easier than
-    QAM16's, and the reference's 12-pilot layout (47 data) leaves its own
-    published 2014 bps unreachable at the net level — with 3 pilots the
-    same row nets ~2190 bps (tests pin the 20 dB stable decode)."""
+    This is WIRE FORMAT: both stations derive the pilot layout from the
+    signaled (mod, rate) alone, and the reference peer computes this table —
+    any deviation breaks over-the-air interop (verified by the round-4
+    interop harness).  The old spacing-20 trim for QAM16/QPSK R1/2 lives on
+    as `sparse_pilot_spacing` for explicitly-negotiated ria-to-ria links."""
     coherent = modulation in ("BPSK", "QPSK", "QAM16", "QAM32", "QAM64", "QAM256")
     if coherent:
-        if modulation in ("QAM16", "QPSK") and rate == "R1_2":
-            return 20
         if rate in ("R5_6", "R7_8"):
             return 6
         if rate == "R3_4":
@@ -197,6 +191,17 @@ def recommended_pilot_spacing(modulation: str, rate: str) -> int:
     if modulation == "D8PSK":
         return 8 if rate in ("R3_4", "R2_3", "R1_2") else 10
     return 15 if rate == "R3_4" else 10
+
+
+def sparse_pilot_spacing(modulation: str, rate: str) -> int:
+    """Non-wire-compat trim: QAM16/QPSK R1/2 at spacing 20 (56 data + 3
+    pilots).  The equalizer for these modes uses pilots only for common-phase
+    correction, so 3 pilots suffice and the row nets ~9% more than the
+    reference layout (verified decode at 18 dB AWGN / good fading in tests).
+    Only for ria-to-ria links where both ends negotiate it explicitly."""
+    if modulation in ("QAM16", "QPSK") and rate == "R1_2":
+        return 20
+    return recommended_pilot_spacing(modulation, rate)
 
 
 def recommend_mc_profile(snr_db: float,

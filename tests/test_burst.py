@@ -154,10 +154,12 @@ def test_burst_disabled_when_peer_lacks_support():
     assert sim.alpha.stats.bursts_tx == 0
 
 
-def test_burst_record_isolation_from_frame0_padding_cw():
-    """A faded codeword covering only frame 0's PADDING must not take the
-    continuation frames with it: the shared header bytes live entirely in
-    the first 17 bytes of the stream."""
+def test_burst_record_isolation_from_frame0_cw_fades():
+    """Per-frame isolation in the packed burst stream: a faded codeword in
+    frame 0's span must not take the continuation records with it (shared
+    header bytes live entirely in the first 17 bytes), and a fade in the
+    frame-0 PADDING region (beyond the serialized frame's true length —
+    frames are unpadded since the round-4 wire alignment) costs nothing."""
     import numpy as np
 
     from ria_tpu.phy.frame_v2 import (burst_record_size, burst_stream_codewords,
@@ -170,12 +172,24 @@ def test_burst_record_isolation_from_frame0_padding_cw():
               [__import__("ria_tpu.phy.frame_v2", fromlist=["make_fixed_data_frame"])
                .make_fixed_data_frame("W1AW", "VE3ABC", i, bytes([i]) * 30, rate)
                for i in range(G)]]
+    assert len(frames[0]) == 49  # 17 hdr + 30 payload + 2 CRC, unpadded
     stream = build_burst_stream(frames, rate)
     ncw = burst_stream_codewords(G, rate)
     stream = stream.ljust(ncw * bpc, b"\x00")
+
+    # Case 1: fade in frame 0's PADDING (CW2 = bytes 80..119 at R1/2, past
+    # the 49 real bytes): every frame still delivers, including frame 0.
     oks = np.ones(ncw, bool)
-    oks[2] = False  # frame 0's padding region (bytes 80..119 at R1/2)
+    oks[2] = False
     res = parse_burst_stream(stream, oks, G, rate)
-    assert not res[0][0]                      # frame 0 itself fails
-    assert all(ok for ok, _ in res[1:])       # every record still delivers
+    assert all(ok for ok, _ in res)
+    assert [fb for _, fb in res] == frames
+
+    # Case 2: fade in frame 0's REAL bytes past the header (CW1 = bytes
+    # 40..79): frame 0 fails, every continuation record still delivers.
+    oks = np.ones(ncw, bool)
+    oks[1] = False
+    res = parse_burst_stream(stream, oks, G, rate)
+    assert not res[0][0]
+    assert all(ok for ok, _ in res[1:])
     assert [fb for _, fb in res[1:]] == frames[1:]
