@@ -25,13 +25,17 @@ def _build_waveform(args):
     from ria_tpu.wave.api import create_waveform
 
     mode = WaveformMode[args.waveform.upper()]
-    return create_waveform(mode, args.modulation and args.modulation.upper(),
-                           args.rate and args.rate.upper())
+    # Defaults mirror the reference CLI (src/main.cpp:343-344): DQPSK R1/4
+    # regardless of waveform — a bare `-w mcdpsk` must interoperate with a
+    # bare reference `ria -w mcdpsk`.
+    modulation = (args.modulation or "DQPSK").upper()
+    rate = (args.rate or "R1_4").upper()
+    return create_waveform(mode, modulation, rate)
 
 
 def cmd_ptx(args) -> int:
     from ria_tpu.phy.frame_v2 import (
-        ConnectFrame, DataFrame, FrameType, PING_MAGIC, make_fixed_data_frame,
+        ConnectFrame, DataFrame, FrameType, make_fixed_data_frame,
     )
     from ria_tpu.phy.frame_v2 import WaveformMode
 
@@ -39,17 +43,19 @@ def cmd_ptx(args) -> int:
     text = args.payload
 
     if text == "ping":
-        from ria_tpu.utils.bits import bytes_to_bits
         from ria_tpu.wave import mc_dpsk
 
         cfg = wf.cfg if hasattr(wf, "cfg") and hasattr(wf.cfg, "bits_per_mc_symbol") else None
         if cfg is None:
             print("ping requires MC_DPSK", file=sys.stderr)
             return 1
-        bits = np.zeros(4 * cfg.bits_per_mc_symbol, np.int64)
-        magic = bytes_to_bits(PING_MAGIC)
-        bits[: len(magic)] = magic
-        samples = np.concatenate([mc_dpsk.preamble(cfg), mc_dpsk.modulate(bits, cfg)])
+        # PING = bare acquisition preamble (chirp + training + ref), no
+        # data — reference encodePing (streaming_encoder.cpp:393-431); the
+        # peer discriminates by post-preamble silence, so carry a tail of
+        # silence like the reference's postProcessTx lead/tail.
+        samples = np.concatenate([np.zeros(7200, np.float32),
+                                  mc_dpsk.preamble(cfg),
+                                  np.zeros(4800, np.float32)])
     elif text == "connect":
         f = ConnectFrame(type=FrameType.CONNECT, src_callsign=args.src,
                          dst_callsign=args.dst, mode_capabilities=0x3F)
@@ -61,12 +67,16 @@ def cmd_ptx(args) -> int:
     else:
         # DATA frames mirror the reference `ria ptx`: connected mode, light
         # preamble (src/main.cpp:160-166 setConnected + encodeFrameLight),
-        # seq=1, with a TX lead-in of silence like postProcessTx.
+        # seq=1, with a TX lead-in of silence like postProcessTx.  OFDM_COX
+        # has no light preamble in the reference (encodeFrameLight falls
+        # back to the full Schmidl-Cox preamble and its RX searches STS),
+        # so a COX frame for a reference peer must carry the full preamble.
         if wf.mode == WaveformMode.MC_DPSK:
             frame = DataFrame.make_data(args.src, args.dst, 1, text.encode())
         else:
             frame = make_fixed_data_frame(args.src, args.dst, 1, text.encode(), wf.rate)
-        body = wf.tx_frame(frame.serialize(), light=True)
+        body = wf.tx_frame(frame.serialize(),
+                           light=(wf.mode != WaveformMode.OFDM_COX))
         lead = np.zeros(7200, np.float32)
         samples = np.concatenate([lead, body, np.zeros(2400, np.float32)])
 
@@ -95,6 +105,23 @@ def cmd_prx(args) -> int:
     rx = wf.rx_frame(audio)
     if not rx.ok and hasattr(wf, "detect_sync"):
         rx = wf.rx_frame(audio, light=True)
+    if not rx.ok and hasattr(wf, "acq_preamble"):
+        # PING probe: bare acquisition preamble with silence after the
+        # training+ref block (reference prx PingReceivedCallback path).
+        sync = wf.detect_sync(audio)
+        if sync is not None and sync.get("kind") in ("chirp", "css"):
+            cfg, start = wf.cfg, sync["start"]
+            sym = cfg.samples_per_symbol
+            train_end = start + (cfg.training_symbols + 1) * sym
+            train = audio[start:train_end]
+            post = audio[train_end: train_end + 2 * sym]
+            if len(train) and len(post):
+                r_t = float(np.sqrt(np.mean(np.square(train))))
+                r_p = float(np.sqrt(np.mean(np.square(post))))
+                if r_t > 0 and r_p < 0.6 * r_t:
+                    print(f"type=PING corr={sync['corr']:.2f} "
+                          f"cfo={sync['cfo_hz']:.1f} Hz")
+                    return 0
     if not rx.ok:
         print("no frame decoded")
         return 1
@@ -148,6 +175,12 @@ def cmd_monitor(args) -> int:
     audio = np.frombuffer(raw, np.float32)
     st = Station(args.src)
     st.promiscuous = True  # observe connected-mode (light) traffic too
+    # Out-of-session data traffic defaults to DQPSK R1/4 (the reference
+    # CLI's data mode); the handshake waveform keeps decoding DBPSK
+    # chirp-preamble frames.
+    from ria_tpu.wave.api import MCDPSKWaveform
+
+    st.data_wf = MCDPSKWaveform(modulation="DQPSK", rate="R1_4")
     mon = ModemMonitor(st)
     block = 48000 // 4
     decoded = []

@@ -167,13 +167,14 @@ class Station:
         from ria_tpu.sync.css import CSS_PING
 
         wf = self.handshake_wf
-        cfg = wf.cfg
-        magic = bytes_to_bits(PING_MAGIC)  # 32 bits
-        # Replicate each magic bit across every carrier of its MC symbol.
-        bits = np.repeat(magic[:PING_SYMBOLS], cfg.bits_per_mc_symbol)
-        samples = np.concatenate([wf.acq_preamble(CSS_PING),
-                                  mc_dpsk.modulate(bits, cfg)])
-        self._enqueue_tx(samples)
+        # Wire format (round-4 interop): a PING is the BARE acquisition
+        # preamble — the reference's encodePing emits only the chirp
+        # (streaming_encoder.cpp:393-431) and its RX discriminates PING
+        # from DATA by the post-chirp energy ratio.  The old ria_tpu raw
+        # "ULTR" DPSK tail read as data energy to a reference peer
+        # (measured ratio 0.635 > 0.6 gate) and broke PING interop; RX
+        # here still accepts legacy magic-tail pings (see _try_ping).
+        self._enqueue_tx(wf.acq_preamble(CSS_PING))
         self.stats.frames_tx += 1
 
     def _enqueue_tx(self, samples: np.ndarray):
@@ -387,16 +388,75 @@ class Station:
     def backlog_ms(self) -> float:
         return len(self.rx_buffer) / 48.0
 
+    def _ping_ratio(self, start: int) -> float | None:
+        """Noise-subtracted post-preamble/training signal-power ratio.
+
+        ~0 for a bare-preamble PING (post region is TX silence), ~1 for a
+        DATA frame.  Per-carrier mix-integrate magnitudes (27 dB
+        processing gain) with the noise reference taken from the chirp's
+        trailing TX-silence gap — the reference's raw post/train RMS gate
+        (streaming_decoder.cpp:1128-1200, threshold 0.6) saturates below
+        ~-1 dB SNR because noise dominates both windows.  None when the
+        buffer does not yet hold the post window."""
+        cfg = self.handshake_wf.cfg
+        sym = cfg.samples_per_symbol
+        train_syms = cfg.training_symbols + 1
+        # Adaptive windows: at least 4 post symbols, up to 8 when buffered
+        # (median over 8x10 values separates deep-fade pings at 0.00-0.06
+        # from data frames at 0.9+; 4 symbols left marginal seeds at 0.5).
+        avail = (len(self.rx_buffer) - start) // sym - train_syms
+        post_syms = min(8, avail)
+        if post_syms < 4:
+            return None
+        gap_syms = min(8, start // sym)
+        need = (train_syms + post_syms) * sym
+        lo = start - gap_syms * sym
+        seg = np.asarray(
+            self.rx_buffer[lo: start + need], np.float32
+        ).reshape(gap_syms + train_syms + post_syms, sym)
+        freqs = np.asarray(cfg.carrier_freqs, np.float64)
+        n = np.arange(sym, dtype=np.float64)
+        mixers = np.exp(-2j * np.pi * freqs[:, None] * n[None, :]
+                        / cfg.sample_rate)  # [C, sym]
+        z = np.abs(seg @ mixers.T.conj()) / sym  # [S, C]
+        m_gap = float(np.median(z[:gap_syms])) if gap_syms else 0.0
+        m_train = float(np.median(z[gap_syms: gap_syms + train_syms]))
+        m_post = float(np.median(z[gap_syms + train_syms:]))
+        sig_post = max(m_post * m_post - m_gap * m_gap, 0.0)
+        sig_train = max(m_train * m_train - m_gap * m_gap, 1e-12)
+        return sig_post / sig_train
+
+    # A ratio below PING_FAST is accepted as PING immediately; between
+    # PING_FAST and PING_WEAK the decision defers to the frame decode (a
+    # decodable frame wins; an undecodable chirp sync with noise-like post
+    # energy is ruled a PING at the header give-up).  Deep-fade seeds sit
+    # in the deferred band — see _try_ping/_process_pending.
+    PING_FAST_RATIO = 0.3
+    PING_WEAK_RATIO = 0.8
+
     def _try_ping(self, start: int, cfo: float) -> bool:
-        """Demod raw uncoded bits after chirp; match the ULTR magic."""
+        """Fast-path PING discrimination at a chirp sync.
+
+        A PING is the bare acquisition preamble: chirp + training + ref
+        symbol, then silence (reference encodePing).  Accept when the post
+        region is clearly noise; otherwise fall back to the legacy
+        ria_tpu raw "ULTR" magic tail so pre-round-4 peers still ping us
+        (weak-but-noise-like cases resolve later via PING_WEAK_RATIO)."""
         cfg = self.handshake_wf.cfg
         wf = self.handshake_wf
-        num_bits = PING_SYMBOLS * cfg.bits_per_mc_symbol
-        need = (cfg.training_symbols + 1 + PING_SYMBOLS * cfg.spreading) * cfg.samples_per_symbol
-        if start + need > len(self.rx_buffer):
+        sym = cfg.samples_per_symbol
+        ratio = self._ping_ratio(start)
+        if ratio is None:
             return False
+        if ratio < self.PING_FAST_RATIO:
+            return True
+        train_syms = cfg.training_symbols + 1
+        if start + (train_syms + PING_SYMBOLS * cfg.spreading) * sym \
+                > len(self.rx_buffer):
+            return False
+        # Legacy magic tail (ria_tpu <= round 3).
+        num_bits = PING_SYMBOLS * cfg.bits_per_mc_symbol
         soft, _ = wf._demod_bits(self.rx_buffer, start, cfo, num_bits)
-        # Soft-combine the per-carrier replicas of each magic bit.
         per_bit = np.asarray(soft).reshape(PING_SYMBOLS, cfg.bits_per_mc_symbol)
         combined = np.sum(per_bit, axis=1)
         hard = (combined < 0).astype(np.uint8)
@@ -631,8 +691,12 @@ class Station:
                 if sync.get("css_type") != CSS_PING:
                     pend["ping_checked"] = True
             cfg = wf.cfg
-            ping_need = (cfg.training_symbols + 1 + PING_SYMBOLS * cfg.spreading) \
-                * cfg.samples_per_symbol
+            # Span to wait for / consume: bare-preamble pings (round-4
+            # wire format) need only training + ref + the 3-symbol post
+            # window _try_ping inspects; the consumed span stays at the
+            # training+ref block so a legacy magic tail is just skipped
+            # as noise by the next search.
+            ping_need = (cfg.training_symbols + 1 + 3) * cfg.samples_per_symbol
             if not pend["ping_checked"]:
                 if start + ping_need > n:
                     return  # wait for more audio
@@ -729,6 +793,24 @@ class Station:
                 else:
                     pend["alt_ruled_out"] = True
             if header is None:
+                # Deferred PING ruling: a chirp sync whose header never
+                # decodes and whose post-training energy is noise-like is
+                # a PING in a deep fade (the fast path's 0.3 gate missed
+                # it) — the strongest discriminator available at the floor
+                # is the LDPC decode itself failing.
+                if sync["kind"] in ("chirp", "css") \
+                        and isinstance(wf, MCDPSKWaveform):
+                    ratio = self._ping_ratio(start)
+                    if ratio is not None and ratio < self.PING_WEAK_RATIO:
+                        self.stats.pings_rx += 1
+                        cfgh = self.handshake_wf.cfg
+                        self._consume(start + (cfgh.training_symbols + 4)
+                                      * cfgh.samples_per_symbol)
+                        if self.conn.state == ConnectionState.PROBING:
+                            self.conn.notify_pong_received()
+                        else:
+                            self.conn.notify_ping_received()
+                        return
                 self.stats.decode_failures += 1
                 self.stats.sync_skips += 1
                 self._consume(start + self._frame_body_samples(wf, 1))
