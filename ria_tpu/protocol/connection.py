@@ -65,6 +65,41 @@ def burst_group_for_snr(snr_db: float) -> int:
     return 4
 
 
+def burst_group_for_link(snr_db: float, modulation: str, rate: str,
+                         fading_index: float = 1.0) -> int:
+    """Deterministic burst group from the SIGNALED link parameters.
+
+    The SNR rung alone sized G16 bursts at DQPSK R1/2 @ 20 dB Good-class
+    fading — 4.4 s of air against a ~10 s channel coherence time, and
+    whole groups faded out (measured: 72 decode failures in one 4 KiB
+    transfer).  On a signaled near-AWGN channel (fading < 0.15 — the
+    CONNECT_ACK carries the responder's fading index in its capabilities
+    byte, and MODE_CHANGE carries it explicitly) the full SNR rung stands;
+    under fading, differential-mode bursts are capped at ~4.6 s of air
+    (G8 at DQPSK R1/2; measured 10/10 burst decodes at 15 dB Good, while
+    the 8.6 s G16 span fails wholesale at 20 dB Good).
+    Coherent QAM/QPSK modes only negotiate on near-AWGN channels and keep
+    the rung either way.  Air time is computed from wire-visible
+    quantities only ((mod, rate, group) -> symbols), so both ends agree."""
+    from ria_tpu.phy.frame_v2 import burst_stream_codewords
+    from ria_tpu.wave.ofdm import BITS_PER_SYMBOL
+    from ria_tpu.wave.selection import recommended_pilot_spacing
+
+    g = burst_group_for_snr(snr_db)
+    if fading_index < 0.15:
+        return g
+    while g > 4:
+        spacing = recommended_pilot_spacing(modulation, rate)
+        pilots = (59 + spacing - 1) // spacing
+        bps_sym = (59 - pilots) * BITS_PER_SYMBOL.get(modulation, 2)
+        syms = -(-burst_stream_codewords(g, rate) * 648 // bps_sym)
+        air_s = (3 + syms) * 1120 / 48000.0
+        if air_s <= 4.6:
+            break
+        g //= 2
+    return g
+
+
 @dataclass
 class LinkMode:
     waveform: WaveformMode = WaveformMode.MC_DPSK
@@ -111,10 +146,16 @@ class ConnectionConfig:
     preferred_mode: WaveformMode = WaveformMode.AUTO
     forced_modulation: str | None = None
     forced_rate: str | None = None
-    # Burst-interleave group this station is willing to run (0 = disabled).
-    # Takes effect only on OFDM_CHIRP links and only when both ends enable
-    # it; the on-air group is fixed at 4 (reference default).
-    burst_group: int = 0
+    # Burst-interleave group this station is WILLING to run (0 = disabled;
+    # the on-air group size is derived from the link SNR by both ends,
+    # burst_group_for_snr).  Default ON since round 4: stream-packed bursts
+    # are where the net-throughput margin over the reference lives
+    # (docs/THROUGHPUT.md), and the burst_tx_confirmed latch already
+    # protects reference peers — burst TX starts only after the peer
+    # demonstrably confirms burst RX, so a reference station that emits
+    # the ambiguous CONNECT 0x80 bit never receives a burst it cannot
+    # decode.  Takes effect only on OFDM links when both ends enable it.
+    burst_group: int = 8
 
 
 @dataclass
@@ -450,9 +491,12 @@ class Connection:
           on OFDM — the class table calls delay<0.75/doppler<0.3 "Good",
           but OTFS QPSK R1/2 (~1.7 kbps gross) would forfeit the QAM
           ladder's 4.8-7.2 kbps on a channel OFDM decodes at 10/10;
-        - a Good-class probe at snr >= 22 dB keeps OFDM for the same
-          throughput reason (QAM16 R2/3 at 96% per the reference's own
-          preset notes beats OTFS QPSK R1/2 on delivered bps).
+        - a Good-class probe at snr >= 18 dB keeps OFDM for the same
+          throughput reason: the reference's own preset notes put QAM16
+          R2/3 at 4.9 kbps/96% on Good 20 dB (types.hpp:361), and the
+          round-4 goodput harness measured OTFS QPSK at <1 kbps with
+          partial delivery there — OTFS earns its keep on Poor/Flutter
+          classes and low-SNR Good, not on a clean 18+ dB channel.
         Requires both ends OTFS_EQ-capable (capability bit 1<<OTFS_EQ).
         """
         if table_wf != WaveformMode.OFDM_CHIRP:
@@ -469,7 +513,7 @@ class Connection:
         dispersive = est.delay_spread_ms >= 0.25 or est.doppler_spread_hz >= 0.05
         if not dispersive or est.recommended_mode() != "OTFS_EQ":
             return None
-        if est.is_good() and snr >= 22.0:
+        if est.is_good() and snr >= 18.0:
             return None
         return recommend_otfs_mode(snr)
 
@@ -483,14 +527,20 @@ class Connection:
         mode = (ARQMode.STOP_AND_WAIT if link.waveform == WaveformMode.MC_DPSK
                 else ARQMode.SELECTIVE_REPEAT)
         arq_cfg = self.config.arq
-        if link.burst_group >= 2 and arq_cfg.window_size < link.burst_group:
+        if link.burst_group >= 2 and arq_cfg.window_size < 2 * link.burst_group:
             # A burst group only forms when `group` frames are queued at
             # once; the selective-repeat window must cover at least one
             # full group or the 4-frame default (reference
             # arq_interface.hpp:19-28) silently degrades bursts to singles.
+            # 2x the group pipelines the NEXT burst while the previous
+            # one's SACK is in flight (dead-air was ~40% of a burst cycle);
+            # flush_window = one group so the receiver SACKs per burst.
             from dataclasses import replace
 
-            arq_cfg = replace(arq_cfg, window_size=link.burst_group)
+            arq_cfg = replace(arq_cfg, window_size=2 * link.burst_group,
+                              rx_buffer_size=max(arq_cfg.rx_buffer_size,
+                                                 2 * link.burst_group),
+                              flush_window=link.burst_group)
         self.arq = create_arq(mode, arq_cfg)
         self.arq.set_callsigns(self.local_call, self.remote_call)
         self._wire_arq()
@@ -641,8 +691,10 @@ class Connection:
             # links (it gates on negotiated MC_DPSK), so setting it is safe.
             # Both ends derive the group size from the SAME encoded SNR byte
             # this ACK carries, so no extra signaling is needed.
-            link.burst_group = burst_group_for_snr(
-                decode_snr(encode_snr(self.measured_snr_db) & ~0x03))
+            link.burst_group = burst_group_for_link(
+                decode_snr(encode_snr(self.measured_snr_db) & ~0x03),
+                link.modulation, link.rate,
+                decode_fading_index(encode_fading_index(self.measured_fading)))
             feature_bits |= 0x01
         ack = ConnectFrame(
             type=FrameType.CONNECT_ACK, seq=self._next_ctrl_seq(),
@@ -672,8 +724,10 @@ class Connection:
             # connection_handlers.cpp:184), so the initiator may burst-TX
             # immediately.  The group is derived from the SAME SNR byte the
             # responder used, keeping both ends' burst geometry identical.
-            link.burst_group = burst_group_for_snr(
-                decode_snr(ack.measured_snr & ~0x03))
+            link.burst_group = burst_group_for_link(
+                decode_snr(ack.measured_snr & ~0x03),
+                link.modulation, link.rate,
+                decode_fading_index(ack.mode_capabilities))
             link.burst_tx_confirmed = True
         if link.waveform == WaveformMode.MC_DPSK:
             _, _, link.spreading = recommend_data_mode(
@@ -697,7 +751,9 @@ class Connection:
         elif link.burst_group >= 2:
             # Re-derive the group from the peer's reported SNR (same byte
             # both ends see) so the burst geometry tracks the new mode.
-            link.burst_group = burst_group_for_snr(decode_snr(p[2]))
+            link.burst_group = burst_group_for_link(
+                decode_snr(p[2]), link.modulation, link.rate,
+                decode_fading_index(p[4]))
         if link.waveform == WaveformMode.MC_DPSK:
             # Spreading follows the peer's reported SNR (reference
             # modem_mode.cpp:93-128 derives MC-DPSK DATA spreading from the
@@ -718,11 +774,14 @@ class Connection:
         after a MODE_CHANGE (the ARQ itself is not recreated mid-session —
         in-flight seq state must survive — so only the window is resized)."""
         if (self.link.burst_group >= 2
-                and self.arq.config.window_size < self.link.burst_group):
+                and self.arq.config.window_size < 2 * self.link.burst_group):
             from dataclasses import replace
 
-            self.arq.config = replace(self.arq.config,
-                                      window_size=self.link.burst_group)
+            self.arq.config = replace(
+                self.arq.config, window_size=2 * self.link.burst_group,
+                rx_buffer_size=max(self.arq.config.rx_buffer_size,
+                                   2 * self.link.burst_group),
+                flush_window=self.link.burst_group)
 
     # ------------------------------------------------- MC-DPSK profile
     # ACK-gated extension (FrameType.MC_PROFILE): the proposer applies the
@@ -833,7 +892,7 @@ class Connection:
         # spreading/burst geometry from that byte, and both ends must use
         # the same value even if measured_snr_db moves before the ACK.
         self._pending_mode_change = (seq, fb, modulation, rate, waveform,
-                                     snr_at_request)
+                                     snr_at_request, self.measured_fading)
         self._mode_change_timer_ms = 0
         self._mode_change_retries = 0
         self._tx(fb, handshake=False)
@@ -844,7 +903,8 @@ class Connection:
         if (self._pending_mode_change is None
                 or self._pending_mode_change[0] != seq):
             return False
-        _, _, modulation, rate, waveform, snr_req = self._pending_mode_change
+        (_, _, modulation, rate, waveform, snr_req,
+         fading_req) = self._pending_mode_change
         self._pending_mode_change = None
         snr_wire = decode_snr(encode_snr(snr_req))
         spreading = self.link.spreading
@@ -857,8 +917,10 @@ class Connection:
         burst_ok = new_wf in (WaveformMode.OFDM_CHIRP, WaveformMode.OFDM_COX)
         group = self.link.burst_group
         if burst_ok and group >= 2:
-            # Mirror the receiver's re-derivation from the same SNR byte.
-            group = burst_group_for_snr(snr_wire)
+            # Mirror the receiver's re-derivation from the same wire bytes.
+            group = burst_group_for_link(
+                snr_wire, modulation, rate,
+                decode_fading_index(encode_fading_index(fading_req)))
         self.link = LinkMode(waveform=new_wf,
                              modulation=modulation, rate=rate,
                              spreading=spreading,

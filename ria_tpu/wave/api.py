@@ -77,12 +77,25 @@ def _tracked_snr(obj, audio: np.ndarray, start: int, length: int,
     at a true 12 dB where the reference engages OFDM."""
     begin = int(np.clip(pre, 0, start))
     ref = _noise_ref(audio, pre)
+    prior = getattr(obj, "_noise_floor", None)
     snr, floor = spectral_snr_db(np.asarray(audio[begin:start + length], np.float32),
                                  noise_ref=ref,
-                                 noise_bin_prior=getattr(obj, "_noise_floor", None),
+                                 noise_bin_prior=prior,
                                  return_floor=True)
     if ref is not None and floor > 0.0:
-        obj._noise_floor = floor
+        # Contamination guard: with pipelined bursts the "inter-frame gap"
+        # directly precedes a frame that QUEUED BEHIND another burst — the
+        # window holds the previous burst's signal, not noise, and one
+        # poisoned floor sent session SNR reads to -24 dB (measured:
+        # ladder thrash QAM16->DQPSK R1/4 mid-transfer at Good 20 dB).  A
+        # real noise floor moves slowly; accept at most a 4x (+6 dB) step
+        # up per measurement, else keep the tracked prior.
+        if prior is not None and floor > 4.0 * prior:
+            snr = spectral_snr_db(
+                np.asarray(audio[begin:start + length], np.float32),
+                noise_bin_prior=prior)
+        else:
+            obj._noise_floor = floor
     return snr
 
 
@@ -159,6 +172,57 @@ def _chase_combine(chase, header, cw_soft: np.ndarray, oks: np.ndarray,
                 chase.mark_decoded(key, i)
                 chase.stats.recoveries += 1
     return oks, chunks
+
+
+def _chase_combine_fixed(chase, header, cw_raw: np.ndarray, rate: str):
+    """Fixed-frame HARQ combine: accumulate ALL 4 CWs' raw LLRs.
+
+    Unlike the variable-CW path (which stores only parity-FAILED CWs), the
+    fixed path cannot trust per-CW parity as acceptance — at low SNR the
+    retry ladder regularly converges every CW to a parity-valid NEIGHBOUR
+    while the frame CRC rejects the result (measured at Moderate 9 dB:
+    most failures are all-CW-"ok"/frame-invalid).  Storing all rows is
+    safe: adding an extra independent copy of a correct CW only raises its
+    margin.  Acceptance stays with the frame header/CRC validators.
+    Returns the validated frame bytes or None."""
+    from ria_tpu.fec.chase import ChaseKey
+    from ria_tpu.phy.frame_v2 import _validate_fixed_chunks, FRAME_CODEWORDS
+
+    key = ChaseKey(header["seq"], header["src_hash"], header["dst_hash"])
+    for i in range(FRAME_CODEWORDS):
+        chase.store(key, i, cw_raw[i], FRAME_CODEWORDS, int(header["type"]))
+    rows = []
+    for i in range(FRAME_CODEWORDS):
+        acc = chase.get_combined(key, i)
+        if acc is None or chase.get_combine_count(key, i) < 2:
+            return None  # first transmission: accumulated only
+        rows.append(acc)
+    from ria_tpu.fec.ldpc import decode_candidates, decode_with_retries
+    from ria_tpu.phy.frame_v2 import bits_to_bytes
+
+    combined = np.stack(rows)
+    result = decode_with_retries(combined, rate)
+    chunks = [bits_to_bytes(np.asarray(result.info_bits)[i])
+              for i in range(FRAME_CODEWORDS)]
+    fb = _validate_fixed_chunks(chunks, rate)
+    if fb is None:
+        # CRC-aided list decode over the combined LLRs (same rescue the
+        # single-shot fixed decode gets, frame_v2.decode_fixed_frame).
+        import itertools
+
+        cands = decode_candidates(combined, rate)
+        if all(len(c) > 0 for c in cands):
+            combos = sorted(itertools.product(*cands),
+                            key=lambda t: -sum(m for m, _ in t))[:64]
+            for combo in combos:
+                chunks_c = [bits_to_bytes(np.asarray(info)) for _, info in combo]
+                fb = _validate_fixed_chunks(chunks_c, rate)
+                if fb is not None:
+                    break
+    if fb is not None:
+        chase.stats.recoveries += 1
+        chase.remove(key)
+    return fb
 
 
 class MCDPSKWaveform:
@@ -532,8 +596,8 @@ class _OFDMWaveformBase:
                              tx_cfo_hz=tx_cfo_hz)
 
     def rx_burst(self, audio: np.ndarray, group: int, sync: dict | None = None):
-        """Returns (list[(ok, frame_bytes)], snr_db) per logical frame, or
-        None when no sync."""
+        """Returns ([(ok, frame_bytes)] per logical frame, snr_db,
+        fading_index), or None when no sync."""
         if sync is None:
             sync = self.detect_sync(audio, light=True)
         if sync is None:
@@ -545,7 +609,7 @@ class _OFDMWaveformBase:
         self._pre_start = sync["start"]
         snr = _tracked_snr(self, audio, sync["start"], self.burst_samples(group),
                            sync["start"])
-        return out, snr
+        return out, snr, float(res.fading_index)
 
     # -------------------------------------------------------------- RX core
     def _demod(self, audio, lts_start, cfo, cfg, num_bits, training: int = 2):
@@ -570,7 +634,7 @@ class _OFDMWaveformBase:
             else lts_start - 2 * cfg.symbol_samples
         return _tracked_snr(self, audio, lts_start, need, pre)
 
-    def _rx_at(self, audio, lts_start, cfo) -> RxFrame:
+    def _rx_at(self, audio, lts_start, cfo, chase=None) -> RxFrame:
         # Control fast path: DQPSK R1/4 single codeword.
         soft0, res0 = self._demod(audio, lts_start, cfo, self.ctrl_cfg, LDPC_BITS)
         ok0, chunk0 = decode_codewords(soft0[None, :], "R1_4", None)
@@ -591,7 +655,8 @@ class _OFDMWaveformBase:
         soft, res = self._demod(audio, lts_start, cfo, self.cfg, num_bits)
         # Constellation feed (reference GUI snapshots): equalized symbols.
         self.last_symbols = np.asarray(res.symbols).reshape(-1)
-        oks, frame_bytes = decode_fixed_frame(soft, self.rate, self._ci_bits)
+        oks, frame_bytes, cw_raw, chunks = decode_fixed_frame(
+            soft, self.rate, self._ci_bits, return_detail=True)
         if frame_bytes is None and self._ci_bits:
             # "Try both" raw vs channel-interleaved (reference
             # streaming_decoder.cpp:2821-2960) — but keep the primary
@@ -600,7 +665,41 @@ class _OFDMWaveformBase:
             oks2, frame_bytes = decode_fixed_frame(soft, self.rate, None)
             if frame_bytes is not None:
                 oks = oks2
+        # HARQ chase combining for OFDM fixed frames (reference gets its
+        # ~3 dB/doubling on EVERY waveform, chase_cache.hpp:27-168; before
+        # round 4 only the MC-DPSK path combined): accumulate failed CWs'
+        # raw LLRs across selective-repeat retransmissions and retry on
+        # the sums.  cw_raw is fully deinterleaved, so ci=None here.  The
+        # chase key needs the header; when CW0 itself faded, recover it
+        # from CW0's parity-valid decode CANDIDATES — the 16-bit header
+        # CRC arbitrates, so a wrong candidate cannot mint a key (fixed
+        # frames fade across ALL 4 CWs thanks to the frame interleave, so
+        # the CW0-decoded-only policy would skip most chase opportunities).
+        if frame_bytes is None and chase is not None:
+            h = parse_header(chunks[0])  # 16-bit header CRC arbitrates
+            if h is None:
+                from ria_tpu.fec.ldpc import decode_candidates
+                from ria_tpu.phy.frame_v2 import bits_to_bytes
+
+                for _m, info in decode_candidates(
+                        cw_raw[:1], self.rate)[0]:
+                    hc = parse_header(bits_to_bytes(np.asarray(info))[:20])
+                    if hc is not None:
+                        h = hc
+                        break
+            if h is not None and not h["is_control"]:
+                fb_c = _chase_combine_fixed(chase, h, cw_raw, self.rate)
+                if fb_c is not None:
+                    oks = np.ones_like(oks)
+                    frame_bytes = fb_c
         ok = frame_bytes is not None
+        if ok and chase is not None:
+            h_ok = parse_header(frame_bytes[:20])
+            if h_ok is not None and not h_ok["is_control"]:
+                from ria_tpu.fec.chase import ChaseKey
+
+                chase.remove(ChaseKey(h_ok["seq"], h_ok["src_hash"],
+                                      h_ok["dst_hash"]))
         header = parse_header(frame_bytes[:20]) if ok else None
         if ok and header is not None and not header["is_control"]:
             ok = DataFrame.deserialize(frame_bytes) is not None
@@ -704,7 +803,7 @@ class OFDMCoxWaveform(_OFDMWaveformBase):
             return RxFrame(False, None, None, None, None)
         self._pre_start = (sync["start"] if sync.get("kind") == "lts"
                            else sync["start"] - 2 * self.cfg.symbol_samples)  # STS
-        return self._rx_at(audio, sync["start"], sync["cfo_hz"])
+        return self._rx_at(audio, sync["start"], sync["cfo_hz"], chase=chase)
 
 
 class OFDMChirpWaveform(_OFDMWaveformBase):
@@ -771,7 +870,7 @@ class OFDMChirpWaveform(_OFDMWaveformBase):
         # (== sync start) for light frames, whose gap sits directly before.
         self._pre_start = (sync["start"] - self.chirp_cfg.total_samples
                            if sync.get("kind") == "chirp" else sync["start"])
-        return self._rx_at(audio, sync["start"], sync["cfo_hz"])
+        return self._rx_at(audio, sync["start"], sync["cfo_hz"], chase=chase)
 
 
 class OTFSWaveform:

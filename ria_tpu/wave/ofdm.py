@@ -602,6 +602,30 @@ def lts_search(samples: jnp.ndarray, cfg: OFDMConfig, threshold: float = 0.5) ->
         pos = jnp.where(take_prev, prev_pos, pos)
         val = jnp.where(take_prev, prev_val, val)
     det = val > threshold
+    # First-significant-tap refinement (cf. sync/zc.py): under multipath
+    # (Watterson 0.5-2 ms echoes = 24-96 samples) the correlation peak can
+    # sit on a LATER, stronger tap.  Locking there puts the FFT window 24+
+    # samples late — PAST the symbol boundary, so every symbol takes ISI
+    # from its successor (late lock is outside the CP's safe zone; early
+    # lock within the CP is free).  Coherent QAM16 at a true 20 dB Good
+    # read 27-45% BER from symbol 0 because of this; differential modes
+    # masked it.  Walk back up to one echo span and take the EARLIEST lag
+    # whose correlation clears 0.6x the peak, then hop to its local lobe
+    # maximum (the band-limited main lobe is ~20 samples wide).
+    offs_ft = jnp.arange(-48, 1, dtype=jnp.int32)
+    widx = jnp.clip(pos[..., None] + offs_ft, 0, corr.shape[-1] - 1)
+    wvals = jnp.take_along_axis(corr, widx, -1)
+    strong = wvals >= 0.6 * val[..., None]
+    first_i = jnp.argmax(strong, axis=-1)
+    edge = jnp.take_along_axis(widx, first_i[..., None], -1)[..., 0]
+    lobe = jnp.arange(12, dtype=jnp.int32)
+    lidx = jnp.clip(edge[..., None] + lobe, 0, corr.shape[-1] - 1)
+    lvals_ft = jnp.take_along_axis(corr, lidx, -1)
+    refined = jnp.take_along_axis(
+        lidx, jnp.argmax(lvals_ft, axis=-1)[..., None], -1)[..., 0]
+    refined = jnp.minimum(refined, pos)
+    pos = jnp.where(det, refined, pos)
+    val = jnp.take_along_axis(corr, pos[..., None], -1)[..., 0]
     # CFO from the inter-repeat phase of the two LTS training symbols (the
     # light preamble is always LTS x2): the analytic matched-filter output
     # rotates by 2*pi*cfo*sym/fs between repeats, unambiguous to
@@ -791,23 +815,107 @@ def demodulate_from_bins(Y_data: jnp.ndarray, Y_pilot: jnp.ndarray | None,
     avg_h_power = jnp.mean(h_power, axis=-1, keepdims=True)
     fade_thr = FADE_THRESHOLD_RATIO * avg_h_power
 
-    # Pilot-based common phase correction per data symbol.
     Yd = Y_data[..., T:, :]  # [..., S, D]
-    if Y_pilot is not None and len(pilot_bins) > 0:
-        Yp = Y_pilot[..., T:, :]
-        expect = H_pilot[..., None, :] * pilot_sequence(cfg)
-        rot = jnp.sum(Yp * jnp.conj(expect), axis=-1)  # [..., S]
-        phase = jnp.angle(rot)
-        Yd = Yd * jnp.exp(-1j * phase)[..., None]
-
-    # MMSE equalization (broadcast over symbols).
+    coherent_mod = mod in ("BPSK", "QPSK", "QAM16", "QAM32", "QAM64", "QAM256")
     nv = noise_var[..., None, None]
-    denom = h_power[..., None, :] + nv
-    eq = Yd * jnp.conj(H_data[..., None, :]) / jnp.maximum(denom, 1e-10)
-    carrier_nv = nv / jnp.maximum(denom, 1e-10)
-    carrier_nv = jnp.where(h_power[..., None, :] < fade_thr[..., None, :],
-                           MAX_CARRIER_NOISE_VAR, carrier_nv)
-    carrier_nv = jnp.clip(carrier_nv, MIN_CARRIER_NOISE_VAR, MAX_CARRIER_NOISE_VAR)
+    if coherent_mod and Y_pilot is not None and len(pilot_bins) > 1:
+        # Per-symbol pilot channel TRACKING with frequency interpolation
+        # (reference channel_equalizer.cpp:645,1049 pilot tracking).  The
+        # old common-phase-only correction left the LTS estimate frozen
+        # for the whole frame: on a Good-class channel the two Rayleigh
+        # taps rotate independently and the per-carrier interference
+        # pattern drifts — coherent QAM16 decoded 1/10 single frames at a
+        # true 20 dB (the reference's own proof point claims 96% there).
+        # Track the RATIO H_s/H_lts at each pilot, interpolate it across
+        # carriers (static linear-weight matmul), and re-scale the dense
+        # LTS estimate — the accurate frame-start shape plus the pilots'
+        # drift information.
+        pos = np.cumsum(np.ones(cfg.num_carriers)) - 1  # 0..58 carrier order
+        order_bins, order_data, order_pilot = carrier_layout(cfg)
+        is_pilot = np.isin(order_bins, order_pilot)
+        pos_pilot = pos[is_pilot]
+        pos_data = pos[~is_pilot]
+        W = np.zeros((len(pos_data), len(pos_pilot)), np.float32)
+        for di, pd in enumerate(pos_data):
+            j = int(np.searchsorted(pos_pilot, pd))
+            if j == 0:
+                W[di, 0] = 1.0
+            elif j >= len(pos_pilot):
+                W[di, -1] = 1.0
+            else:
+                t = (pd - pos_pilot[j - 1]) / (pos_pilot[j] - pos_pilot[j - 1])
+                W[di, j - 1] = 1.0 - t
+                W[di, j] = t
+        Yp = Y_pilot[..., T:, :]
+        Hp_s = Yp / pilot_sequence(cfg)                       # [..., S, P]
+        base = jnp.where(jnp.abs(H_pilot) > 1e-9, H_pilot, 1.0)
+        ratio = Hp_s / base[..., None, :]
+        # Clamp the ratio: near a deep pilot null the quotient explodes;
+        # the true drift over a frame is a modest rotation/scale.
+        rmag = jnp.abs(ratio)
+        ratio = ratio * (jnp.clip(rmag, 0.25, 4.0)
+                         / jnp.maximum(rmag, 1e-9))
+        # Time-EMA the ratio (first-order linear recurrence, associative
+        # scan like the demap's EMA chain), anchored at the LTS baseline
+        # (ratio 1): the per-symbol pilot estimate carries noise that cost
+        # QAM64 2-4 codewords per clean 24 dB burst when applied raw; the
+        # EMA keeps the tracking bandwidth (~0.1 Hz Doppler needs only a
+        # few-symbol lag) while averaging the pilot noise down.
+        a = 0.35
+        ones_r = jnp.ones_like(ratio[..., :1, :])
+        A = jnp.concatenate([ones_r * (1.0 - a)] * ratio.shape[-2], axis=-2)
+        Bv = a * ratio
+        # seed: r~_{-1} = 1  =>  first element B' = (1-a)*1 + a*r_0
+        Bv = Bv.at[..., 0, :].add((1.0 - a))
+
+        def comb(x, y):
+            return (x[0] * y[0], y[0] * x[1] + y[1])
+
+        _, ratio_s = jax.lax.associative_scan(comb, (A, Bv), axis=-2)
+        R = ratio_s @ jnp.asarray(W.T).astype(jnp.complex64)  # [..., S, D]
+        # Near-AWGN gate: on a flat channel the per-carrier interpolation
+        # only injects pilot noise into an already-optimal LTS estimate
+        # (QAM64 lost 2 codewords on one clean 24 dB seed with it always
+        # on) — but the COMMON phase still drifts with residual CFO, and
+        # dropping that correction entirely zeroed a whole clean burst.
+        # So the flat-channel branch applies the pilot-weighted common
+        # phase/gain only; the selective branch keeps the full per-carrier
+        # ratio.  Gate at the 0.15 AWGN-class CV boundary the selection
+        # tables use.
+        h_mag0 = jnp.abs(H_data)
+        cv0 = jnp.std(h_mag0, axis=-1) / jnp.maximum(
+            jnp.mean(h_mag0, axis=-1), 1e-9)
+        wgt = jnp.square(jnp.abs(base))[..., None, :]
+        r_common = (jnp.sum(ratio_s * wgt, axis=-1)
+                    / jnp.maximum(jnp.sum(wgt, axis=-1), 1e-12))
+        R = jnp.where((cv0 > 0.15)[..., None, None], R,
+                      r_common[..., None])
+        H_s = H_data[..., None, :] * R
+        hp_s = jnp.square(jnp.abs(H_s))
+        denom = hp_s + nv
+        eq = Yd * jnp.conj(H_s) / jnp.maximum(denom, 1e-10)
+        carrier_nv = nv / jnp.maximum(denom, 1e-10)
+        carrier_nv = jnp.where(hp_s < fade_thr[..., None, :],
+                               MAX_CARRIER_NOISE_VAR, carrier_nv)
+        carrier_nv = jnp.clip(carrier_nv, MIN_CARRIER_NOISE_VAR,
+                              MAX_CARRIER_NOISE_VAR)
+    else:
+        # Pilot-based common phase correction per data symbol (differential
+        # modes: the per-carrier chain handles amplitude drift itself).
+        if Y_pilot is not None and len(pilot_bins) > 0:
+            Yp = Y_pilot[..., T:, :]
+            expect = H_pilot[..., None, :] * pilot_sequence(cfg)
+            rot = jnp.sum(Yp * jnp.conj(expect), axis=-1)  # [..., S]
+            phase = jnp.angle(rot)
+            Yd = Yd * jnp.exp(-1j * phase)[..., None]
+
+        # MMSE equalization (broadcast over symbols).
+        denom = h_power[..., None, :] + nv
+        eq = Yd * jnp.conj(H_data[..., None, :]) / jnp.maximum(denom, 1e-10)
+        carrier_nv = nv / jnp.maximum(denom, 1e-10)
+        carrier_nv = jnp.where(h_power[..., None, :] < fade_thr[..., None, :],
+                               MAX_CARRIER_NOISE_VAR, carrier_nv)
+        carrier_nv = jnp.clip(carrier_nv, MIN_CARRIER_NOISE_VAR, MAX_CARRIER_NOISE_VAR)
     carrier_nv = jnp.broadcast_to(carrier_nv, eq.shape)
 
     # Per-carrier EMA instability inflation + differential chain: scan over S.

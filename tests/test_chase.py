@@ -72,3 +72,48 @@ def test_chase_combining_rescues_decode():
 
     assert successes_combined > successes_single
     assert successes_combined >= trials - 1, (successes_single, successes_combined)
+
+
+def test_ofdm_fixed_frame_chase_combining():
+    """OFDM fixed frames chase-combine across retransmissions (reference
+    gets ~3 dB/doubling on every waveform, chase_cache.hpp:27-168): two
+    transmissions that EACH fail to decode at Moderate 9 dB combine to a
+    validated frame.  All 4 CWs accumulate — per-CW parity is not
+    acceptance for fixed frames (the retry ladder regularly converges to
+    parity-valid neighbours that the frame CRC rejects)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ria_tpu.fec.chase import ChaseCache
+    from ria_tpu.phy.frame_v2 import WaveformMode, make_fixed_data_frame
+    from ria_tpu.sim import PRESETS, apply_channel
+    from ria_tpu.wave.api import create_waveform
+
+    wf = create_waveform(WaveformMode.OFDM_CHIRP, "DQPSK", "R1_2")
+    fb = make_fixed_data_frame("W1AW", "VE3ABC", 7, bytes(range(100)),
+                               "R1_2").serialize()
+    tx = wf.tx_frame(fb, light=True)
+
+    def rx(seed, chase):
+        audio = np.concatenate([np.zeros(3000, np.float32), tx,
+                                np.zeros(4000, np.float32)])
+        out = np.asarray(apply_channel(jnp.asarray(audio),
+                                       jax.random.PRNGKey(seed),
+                                       PRESETS["moderate"](9.0)).samples)
+        return wf.rx_frame(out, light=True, chase=chase)
+
+    # Seed pairs where both single transmissions fail standalone.
+    pairs = [(8000, 8003), (8003, 8012), (8003, 8015)]
+    rescued = 0
+    for s1, s2 in pairs:
+        assert not rx(s1, None).ok and not rx(s2, None).ok, (s1, s2)
+        chase = ChaseCache()
+        rx(s1, chase)
+        r2 = rx(s2, chase)
+        if r2.ok and chase.stats.recoveries > 0:
+            rescued += 1
+            assert r2.frame_bytes == fb
+    assert rescued >= 2, f"only {rescued}/3 pairs chase-rescued"

@@ -311,3 +311,50 @@ def test_distributed_single_process_helpers():
     assert arr.shape == audio.shape
     assert len(arr.sharding.device_set) == 8
     assert np.array_equal(np.asarray(arr), audio)
+
+
+def test_ofdm_stream_rx_low_snr_sharded_decode():
+    """Sharded OFDM decode at <=10 dB (previous coverage stopped at 15 dB):
+    the distributed (codeword x ladder-variant) decode half must match the
+    single-chip decode bit-for-bit at a low-SNR operating point, with the
+    frame straddling a shard boundary."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ria_tpu.fec.interleave import apply_perm, channel_perm, frame_perm
+    from ria_tpu.parallel.stream import make_ofdm_stream_rx, make_stream_mesh
+    from ria_tpu.phy.frame_v2 import (bits_to_bytes, encode_fixed_frame,
+                                      make_fixed_data_frame,
+                                      reassemble_codewords)
+    from ria_tpu.sim import apply_channel, awgn
+    from ria_tpu.wave import ofdm
+
+    cfg = ofdm.OFDMConfig(modulation="DQPSK", use_pilots=True,
+                          pilot_spacing=10)
+    ci = cfg.bits_per_ofdm_symbol()
+    fb = make_fixed_data_frame("W1AW", "VE3ABC", 2, bytes(range(90)),
+                               "R1_2").serialize()
+    bits = encode_fixed_frame(fb, "R1_2", ci)
+    tx = ofdm.tx_frame(np.asarray(bits), cfg, preamble="cox")
+
+    mesh = make_stream_mesh(8)
+    block = 3 * 48000
+    total = 8 * block
+    # Straddle the shard-1/2 boundary.
+    start = 2 * block - len(tx) // 3
+    audio = np.zeros(total, np.float32)
+    audio[start: start + len(tx)] = tx
+    out = np.asarray(apply_channel(jnp.asarray(audio),
+                                   jax.random.PRNGKey(11),
+                                   awgn(8.0)).samples)
+
+    rx = make_ofdm_stream_rx(mesh, cfg, "R1_2", block, ci_bits=ci,
+                             pallas_interpret=True)
+    res = rx(jnp.asarray(out))
+    assert bool(res["detected"])
+    assert np.asarray(res["cw_success"]).all(), res["cw_success"]
+    chunks = [bits_to_bytes(np.asarray(res["info_bits"][i]))
+              for i in range(4)]
+    got = reassemble_codewords(chunks, "R1_2", len(fb))
+    assert got == fb

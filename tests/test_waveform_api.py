@@ -100,7 +100,7 @@ def test_ofdm_burst_interleave_roundtrip():
     out = _through_channel(tx, 15.0, seed=8)
     res = wf.rx_burst(out, group=4)
     assert res is not None
-    res, _snr = res
+    res, _snr, _fading = res
     assert all(ok for ok, _ in res), [ok for ok, _ in res]
     for i, (ok, fb) in enumerate(res):
         g = DataFrame.deserialize(fb)

@@ -153,7 +153,7 @@ def steady_config(mode, forced_mod: str, forced_rate: str,
     the SAME tables the protocol uses (so the tool can't drift from the
     product): -> ("mc", carriers, mod, rate) or ("burst", group, mod, rate)."""
     from ria_tpu.phy.frame_v2 import WaveformMode
-    from ria_tpu.protocol.connection import burst_group_for_snr
+    from ria_tpu.protocol.connection import burst_group_for_link
     from ria_tpu.wave.selection import recommend_mc_profile, select_ofdm_code_rate
 
     if mode == WaveformMode.MC_DPSK:
@@ -161,11 +161,11 @@ def steady_config(mode, forced_mod: str, forced_rate: str,
         if prof is None:
             return ("mc", 10, forced_mod, "R1_4")
         return ("mc",) + prof
-    group = burst_group_for_snr(snr_db)
     rate = forced_rate
     if forced_mod == "DQPSK" or (forced_mod, forced_rate) == ("QAM16", "R1_2"):
         # rate ladder rows: take what the table selects at this point
         rate = select_ofdm_code_rate(snr_db, fading)
+    group = burst_group_for_link(snr_db, forced_mod, rate, fading)
     return ("burst", group, forced_mod, rate)
 
 
