@@ -265,8 +265,12 @@ class SelectiveRepeatARQ(_ARQBase):
                 break
 
     def _complete_upto(self, seq: int):
-        """Cumulative ACK: complete every window slot <= seq (mod window)."""
-        for s in [s for s in self.window if s <= seq]:
+        """Cumulative ACK: complete every window slot at or before `seq` in
+        16-bit circular order (forward distance from slot to ack < 2^15).
+        Plain `s <= seq` would break at the 0xFFFF->0 wrap AND let any
+        foreign high-range seq (control-plane ACKs ride 0xFDxx/0xFExx)
+        wipe the whole window."""
+        for s in [s for s in self.window if ((seq - s) & 0xFFFF) < 0x8000]:
             slot = self.window.pop(s)
             # Skip the RTT sample when the slot's audio hadn't even finished
             # transmitting (timer back-dated below zero by notify_tx_air_ms):

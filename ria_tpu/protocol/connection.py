@@ -647,6 +647,16 @@ class Connection:
                         and (self._complete_mc_profile(ctrl.seq)
                              or self._complete_mode_change(ctrl.seq))):
                     return
+                if (ctrl.seq & 0xFF00) in (0xFD00, 0xFE00):
+                    # Control-plane ACK (MODE_CHANGE 0xFDxx / MC_PROFILE
+                    # 0xFExx) whose pending entry is already consumed — a
+                    # retransmitted proposal elicits one ACK per copy.  It
+                    # must NEVER reach the data ARQ: selective repeat's
+                    # cumulative _complete_upto(0xFDxx) would mark every
+                    # in-flight data slot delivered and permanently stall
+                    # the receiver on the holes (observed: good@20 bulk
+                    # transfer frozen at 83% with rx_next stuck).
+                    return
                 self.arq.on_frame_received(frame_bytes)
                 return
         if df is not None and 0x30 <= int(df.type) <= 0x33:

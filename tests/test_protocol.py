@@ -679,3 +679,42 @@ def test_ctrl_seq_counter_advances():
     seqs = [c._next_ctrl_seq() for _ in range(64)]
     assert len(set(seqs)) == 64
     assert 0xFFFF not in seqs
+
+
+def test_control_ack_never_wipes_data_window():
+    """A control-plane ACK (MODE_CHANGE 0xFDxx / MC_PROFILE 0xFExx seq
+    range) must not complete data slots: selective repeat's cumulative
+    ACK interpreted 0xFDxx as 'everything delivered' and permanently
+    stalled bulk transfers at the first in-fade mode change (duplicate
+    ACKs from a retransmitted proposal fall past the pending-entry
+    check in Connection.on_frame_received)."""
+    from ria_tpu.phy.frame_v2 import ControlFrame
+
+    a = SelectiveRepeatARQ()
+    a.set_callsigns("W1AW", "VE3ABC")
+    a.on_transmit = lambda fb: None
+    for i in range(3):
+        assert a.send_data(f"d{i}".encode())
+    assert len(a.window) == 3
+    dup_ctrl_ack = ControlFrame.make_ack("VE3ABC", 0x1234, 0xFD07)
+    a.on_frame_received(dup_ctrl_ack.serialize())
+    assert len(a.window) == 3, "control-range ACK wiped data slots"
+    # Legitimate cumulative data ACK still completes in-order slots.
+    a.on_frame_received(ControlFrame.make_ack("VE3ABC", 0x1234, 1).serialize())
+    assert sorted(a.window) == [2]
+
+
+def test_cumulative_ack_wraparound():
+    """Cumulative completion follows 16-bit circular order across the
+    0xFFFF -> 0 seq wrap (plain <= completed nothing after the wrap and
+    deadlocked long transfers)."""
+    from ria_tpu.phy.frame_v2 import ControlFrame
+
+    a = SelectiveRepeatARQ()
+    a.set_callsigns("W1AW", "VE3ABC")
+    a.on_transmit = lambda fb: None
+    a.tx_seq = 0xFFFE
+    for i in range(4):  # seqs fffe, ffff, 0, 1
+        assert a.send_data(b"x")
+    a.on_frame_received(ControlFrame.make_ack("VE3ABC", 0x1234, 0).serialize())
+    assert sorted(a.window) == [1], f"wrap-ack left {sorted(a.window)}"
