@@ -244,8 +244,21 @@ class Station:
                 return
         samples = np.asarray(wf.tx_frame(frame_bytes, light=light), np.float32)
         self._enqueue_tx(samples)
-        self.conn.notify_tx_air_ms(frame_bytes, len(samples) / 48.0)
+        self.conn.notify_tx_air_ms(frame_bytes, self._tx_backlog_ms())
         self.stats.frames_tx += 1
+
+    def _tx_backlog_ms(self) -> float:
+        """Audio-ms until everything currently queued finishes airing.
+
+        This — not the frame's own duration — is what ACK timers must be
+        back-dated by: with two 8-frame bursts queued back-to-back
+        (selective-repeat window = 2x group), the second burst's slots
+        otherwise start their ack timers ~a full burst (~17 s at DQPSK
+        R1/2 G8) before their audio even starts, and the spurious timeout
+        retransmits flood the half-duplex channel faster than it drains
+        (observed at good@20: 48 timeouts in the first 40 s and a frozen
+        transfer)."""
+        return sum(len(a) for a in self.tx_queue) / 48.0
 
     def _verify_config_match(self):
         """TX/RX config-divergence guard (reference
@@ -287,7 +300,7 @@ class Station:
             if burst is not None:
                 samples = np.asarray(burst, np.float32)
                 self._enqueue_tx(samples)
-                air_ms = len(samples) / 48.0
+                air_ms = self._tx_backlog_ms()
                 for fb in frames:
                     # every frame in the burst completes when the burst does
                     self.conn.notify_tx_air_ms(fb, air_ms)
@@ -297,7 +310,7 @@ class Station:
         for fb in frames:  # partial group: normal light frames
             samples = np.asarray(self.data_wf.tx_frame(fb, light=True), np.float32)
             self._enqueue_tx(samples)
-            self.conn.notify_tx_air_ms(fb, len(samples) / 48.0)
+            self.conn.notify_tx_air_ms(fb, self._tx_backlog_ms())
             self.stats.frames_tx += 1
 
     def _on_mode_changed(self, link: LinkMode):

@@ -82,9 +82,7 @@ def measure_goodput(channel: str, snr_db: float, seed: int,
         "connect_s": connect_ticks * sim.block_ms / 1000.0,
         "link": f"{link.waveform.name} {link.modulation} {link.rate} "
                 f"G{link.burst_group}",
-        "retransmits": getattr(ra, "retransmits", 0)
-                       if not hasattr(ra, "stats") else
-                       getattr(ra.stats, "retransmits", 0),
+        "retransmits": ra.stats.retransmissions,
     }
 
 
