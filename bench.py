@@ -223,9 +223,17 @@ def _ldpc_metrics(rng):
         nd = lambda xs: sorted(xs)[1]
         slope_2nd = (nd(t2s) - nd(t1s)) / (n2 - n1)
         med = lambda xs: sorted(xs)[len(xs) // 2]
-        out[f"{name}_cw_per_s"] = round(B / slope_min, 1)
-        out[f"{name}_spread_pct"] = round(
-            100.0 * abs(slope_2nd - slope_min) / slope_min, 1)
+        if slope_min <= 0:
+            # A pathological tunnel stall made a 20-dispatch trial slower
+            # than every 120-dispatch trial: the slope is meaningless, so
+            # record the row as noise-dominated instead of publishing a
+            # negative/infinite rate (advisor r4).
+            out[f"{name}_cw_per_s"] = None
+            out[f"{name}_noise_dominated"] = True
+        else:
+            out[f"{name}_cw_per_s"] = round(B / slope_min, 1)
+            out[f"{name}_spread_pct"] = round(
+                100.0 * abs(slope_2nd - slope_min) / slope_min, 1)
         out[f"{name}_t_ms"] = {
             "n20_min": round(min(t1s) * 1e3, 2),
             "n120_min": round(min(t2s) * 1e3, 2),
@@ -235,7 +243,7 @@ def _ldpc_metrics(rng):
             "n120_med": round(med(t2s) * 1e3, 2),
         }
         out[f"{name}_decode_ok"] = round(ok, 4)
-    if "pallas_cw_per_s" in out:
+    if out.get("pallas_cw_per_s") and out.get("xla_cw_per_s"):
         out["pallas_margin_pct"] = round(
             100.0 * (out["pallas_cw_per_s"] / out["xla_cw_per_s"] - 1.0), 1)
 

@@ -30,6 +30,32 @@ class ARQMode(enum.Enum):
     SELECTIVE_REPEAT = 1
 
 
+# Control-plane ACK seqs (MODE_CHANGE 0xFDxx / MC_PROFILE 0xFExx — see
+# connection.py) must never collide with data seqs: data tx_seq wraps the
+# full 16-bit space, so after ~64.8k frames in one connection a data frame
+# would otherwise land in the range and its ACKs be dropped by the
+# connection-layer control filter (retransmit storm, then hard failure —
+# advisor r4).  Data seq allocation skips the range on BOTH ends (TX
+# allocation and RX next-seq advancement use the same rule, so the
+# sequence space stays contiguous as seen by the ARQ).
+_CTRL_SEQ_LO, _CTRL_SEQ_HI = 0xFD00, 0xFEFF
+
+
+def _skip_ctrl_range(seq: int) -> int:
+    return 0xFF00 if _CTRL_SEQ_LO <= seq <= _CTRL_SEQ_HI else seq
+
+
+def next_seq(seq: int) -> int:
+    """Successor in the data sequence space (16-bit, ctrl range excluded)."""
+    return _skip_ctrl_range((seq + 1) & 0xFFFF)
+
+
+def prev_seq(seq: int) -> int:
+    """Predecessor in the data sequence space (inverse of next_seq)."""
+    p = (seq - 1) & 0xFFFF
+    return 0xFCFF if _CTRL_SEQ_LO <= p <= _CTRL_SEQ_HI else p
+
+
 @dataclass
 class ARQConfig:
     ack_timeout_ms: int = 8000
@@ -132,8 +158,8 @@ class StopAndWaitARQ(_ARQBase):
     def send_data(self, payload: bytes, flags_extra: int = 0) -> bool:
         if self.in_flight is not None:
             return False
-        seq = self.tx_seq
-        self.tx_seq = (self.tx_seq + 1) & 0xFFFF
+        seq = self.tx_seq = _skip_ctrl_range(self.tx_seq)
+        self.tx_seq = next_seq(seq)
         frame = self._make_data_frame(seq, payload, flags_extra)
         self.in_flight = _TxSlot(seq=seq, frame_bytes=frame)
         self.stats.frames_sent += 1
@@ -242,8 +268,8 @@ class SelectiveRepeatARQ(_ARQBase):
     def send_data(self, payload: bytes, flags_extra: int = 0) -> bool:
         if not self.is_ready_to_send():
             return False
-        seq = self.tx_seq
-        self.tx_seq = (self.tx_seq + 1) & 0xFFFF
+        seq = self.tx_seq = _skip_ctrl_range(self.tx_seq)
+        self.tx_seq = next_seq(seq)
         frame = self._make_data_frame(seq, payload, flags_extra)
         slot = _TxSlot(seq=seq, frame_bytes=frame)
         slot.timer_ms = 0
@@ -269,7 +295,29 @@ class SelectiveRepeatARQ(_ARQBase):
         16-bit circular order (forward distance from slot to ack < 2^15).
         Plain `s <= seq` would break at the 0xFFFF->0 wrap AND let any
         foreign high-range seq (control-plane ACKs ride 0xFDxx/0xFExx)
-        wipe the whole window."""
+        wipe the whole window.
+
+        Stale/far-future guard (reference handleAckFrame,
+        selective_repeat_arq.cpp:216-231): a valid cumulative ACK names a
+        seq we actually transmitted at or ahead of the window base — i.e.
+        an in-flight seq, or one within window_size steps past the base
+        (already-popped slots re-acked by a duplicate SACK resolve to
+        in-window or no-op).  Anything else (corrupted seq, foreign
+        control-plane seq, ACK from a stale connection) is ignored rather
+        than allowed to falsely complete in-flight data slots."""
+        if not self.window:
+            return
+        anchor = next(iter(self.window))
+        base = min(self.window,
+                   key=lambda s: ((s - anchor) & 0xFFFF) - (
+                       0x10000 if ((s - anchor) & 0xFFFF) >= 0x8000 else 0))
+        acceptable = set()
+        s = base
+        for _ in range(len(self.window) + self.config.window_size + 1):
+            acceptable.add(s)
+            s = next_seq(s)
+        if seq not in acceptable:
+            return
         for s in [s for s in self.window if ((seq - s) & 0xFFFF) < 0x8000]:
             slot = self.window.pop(s)
             # Skip the RTT sample when the slot's audio hadn't even finished
@@ -285,21 +333,24 @@ class SelectiveRepeatARQ(_ARQBase):
         """ACK highest in-order seq (cumulative) + NACK bitmap for holes."""
         self._sack_timer = -1
         self._delivered_since_sack = 0
-        highest = (self.rx_next_seq - 1) & 0xFFFF
+        highest = prev_seq(self.rx_next_seq)
         ack = ControlFrame.make_ack(self.local_call, self._sack_src_hash, highest)
         self.stats.acks_sent += 1
         self.stats.sacks_sent = getattr(self.stats, "sacks_sent", 0) + 1
         for _ in range(max(1, min(3, self.ack_repeat))):
             self._tx(ack.serialize())
         if self.rx_buffer:
-            bitmap = 0
-            for s in self.rx_buffer:
-                off = s - self.rx_next_seq
-                if 0 <= off < 32:
+            # Bitmap offsets count in data-sequence steps from rx_next_seq
+            # (next_seq walk, so the ctrl-range skip and 16-bit wrap stay
+            # consistent with the sender's reconstruction below).
+            bitmap, span = 0, 0
+            s = self.rx_next_seq
+            for off in range(32):
+                if s in self.rx_buffer:
                     bitmap |= 1 << off
-            # Holes = positions NOT in the buffer before the highest buffered.
-            span = max(self.rx_buffer) - self.rx_next_seq + 1
-            holes = (~bitmap) & ((1 << min(span, 32)) - 1)
+                    span = off + 1
+                s = next_seq(s)
+            holes = (~bitmap) & ((1 << span) - 1)
             if holes:
                 nack = ControlFrame.make_nack(self.local_call, self._sack_src_hash,
                                               self.rx_next_seq, holes)
@@ -315,17 +366,14 @@ class SelectiveRepeatARQ(_ARQBase):
         if ctrl is not None and ctrl.type == FrameType.NACK:
             nack = NackPayload.decode(ctrl.payload)
             # Bitmap of missing frames relative to base seq; bit 0 = base.
-            base = nack.frame_seq
+            # Offsets count in data-sequence steps (next_seq), mirroring
+            # the receiver's _send_sack construction.
+            t = nack.frame_seq
             for off in range(32):
-                if nack.cw_bitmap == 0:
-                    # Legacy per-frame NACK (no bitmap): retransmit base.
-                    targets = [base]
-                else:
-                    if not (nack.cw_bitmap >> off) & 1:
-                        continue
-                    targets = [base + off]
-                for t in targets:
-                    slot = self.window.get(t & 0xFFFF)
+                hit = (off == 0) if nack.cw_bitmap == 0 else bool(
+                    (nack.cw_bitmap >> off) & 1)
+                if hit:
+                    slot = self.window.get(t)
                     if slot is not None and slot.retries < self.config.max_retries:
                         slot.retries += 1
                         slot.timer_ms = 0
@@ -333,6 +381,7 @@ class SelectiveRepeatARQ(_ARQBase):
                         self._tx(slot.frame_bytes)
                 if nack.cw_bitmap == 0:
                     break
+                t = next_seq(t)
             return
         df = DataFrame.deserialize(frame_bytes)
         if df is None or not (0x30 <= int(df.type) <= 0x33):
@@ -352,9 +401,12 @@ class SelectiveRepeatARQ(_ARQBase):
                 self.delivered.add(self.rx_next_seq)
                 self._deliver(payload, flags)
                 self._delivered_since_sack += 1
-                self.rx_next_seq = (self.rx_next_seq + 1) & 0xFFFF
+                self.rx_next_seq = next_seq(self.rx_next_seq)
             while len(self.rx_buffer) > self.config.rx_buffer_size:
-                oldest = min(self.rx_buffer)
+                # Wrap-safe "oldest": smallest forward distance ahead of
+                # rx_next_seq (everything buffered is ahead of it).
+                oldest = min(self.rx_buffer,
+                             key=lambda s: (s - self.rx_next_seq) & 0xFFFF)
                 del self.rx_buffer[oldest]
         # Delayed SACK: batch acknowledgements so a burst is covered by one
         # cumulative ACK (+hole NACK).  Out-of-order arrivals flush sooner,

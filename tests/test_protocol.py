@@ -230,10 +230,12 @@ def test_mfsk_connect_fallback_switch():
     st.conn.notify_pong_received()  # enter CONNECTING, sends CONNECT #0
     assert not st.conn.use_mfsk_fallback
     # Time out 5 DPSK connect attempts.  The retry timer counts from TX
-    # completion (notify_tx_air_ms back-dating), so each tick must cover
-    # the timeout plus the frame's air time (spread-4 escalation frames
-    # from attempt 2 run ~11 s).
+    # completion (notify_tx_air_ms back-dates by the whole TX backlog),
+    # so drain the queue per attempt — as a real half-duplex channel
+    # would — and cover the timeout plus the frame's own air time
+    # (spread-4 escalation frames from attempt 2 run ~10 s).
     for _ in range(5):
+        st.tx_queue.clear()
         st.conn.tick(st.conn.config.connect_timeout_ms + 15000)
     assert st.conn.use_mfsk_fallback
     st.tx_queue.clear()
@@ -718,3 +720,81 @@ def test_cumulative_ack_wraparound():
         assert a.send_data(b"x")
     a.on_frame_received(ControlFrame.make_ack("VE3ABC", 0x1234, 0).serialize())
     assert sorted(a.window) == [1], f"wrap-ack left {sorted(a.window)}"
+
+
+def test_data_seq_allocation_skips_ctrl_range():
+    """Data tx_seq never lands in 0xFD00-0xFEFF (control-plane ACK seqs):
+    after ~64.8k frames in one connection the data seq space would
+    otherwise enter the range the connection layer filters, so every
+    cumulative ACK for those 512 seqs would be silently dropped —
+    retransmit storm, then hard failure at max_retries (advisor r4)."""
+    from ria_tpu.protocol.arq import next_seq, prev_seq
+
+    for cls in (StopAndWaitARQ, SelectiveRepeatARQ):
+        a = cls()
+        a.set_callsigns("W1AW", "VE3ABC")
+        a.on_transmit = lambda fb: None
+        a.tx_seq = 0xFCFF
+        seqs = []
+        real_send = a.send_data
+        for i in range(3):
+            if cls is StopAndWaitARQ:
+                a.in_flight = None  # free the single slot
+            assert real_send(b"x")
+        seqs = sorted(a.window) if cls is SelectiveRepeatARQ else None
+        if seqs is not None:
+            assert seqs == [0xFCFF, 0xFF00, 0xFF01], seqs
+    assert next_seq(0xFCFF) == 0xFF00
+    assert prev_seq(0xFF00) == 0xFCFF
+    assert next_seq(0xFFFF) == 0x0000
+
+
+def test_selective_repeat_transfer_across_ctrl_range_skip():
+    """An in-order transfer whose seqs straddle the 0xFD00-0xFEFF skip
+    delivers everything: RX next-seq advancement, cumulative SACK seq
+    and hole bitmaps all count in the same skipped sequence space."""
+    a, b = SelectiveRepeatARQ(), SelectiveRepeatARQ()
+    a.set_callsigns("W1AW", "VE3ABC")
+    b.set_callsigns("VE3ABC", "W1AW")
+    a.tx_seq = 0xFCFD
+    b.rx_next_seq = 0xFCFD
+    a.on_transmit = lambda fb: b.on_frame_received(fb)
+    b.on_transmit = lambda fb: a.on_frame_received(fb)
+    got = []
+    b.on_data = lambda p, f: got.append(p)
+    payloads = [f"m{i}".encode() for i in range(6)]
+    for p in payloads:
+        while not a.is_ready_to_send():
+            a.tick(500)
+            b.tick(500)
+        assert a.send_data(p)
+    for _ in range(10):
+        a.tick(500)
+        b.tick(500)
+    assert got == payloads
+    assert not a.window, f"unacked slots {sorted(a.window)}"
+    assert a.stats.retransmissions == 0
+
+
+def test_far_future_ack_ignored():
+    """An ACK far ahead of the window base (outside window_size+1 steps)
+    must not complete in-flight slots — corrupted or foreign seqs (e.g.
+    a stale connection's handshake ctrl seqs) could otherwise falsely
+    complete data (advisor r4; reference handleAckFrame guard,
+    selective_repeat_arq.cpp:216-231)."""
+    from ria_tpu.phy.frame_v2 import ControlFrame
+
+    a = SelectiveRepeatARQ()
+    a.set_callsigns("W1AW", "VE3ABC")
+    a.on_transmit = lambda fb: None
+    a.tx_seq = 100
+    for _ in range(3):
+        assert a.send_data(b"x")  # seqs 100..102
+    a.on_frame_received(ControlFrame.make_ack("VE3ABC", 0x1234, 500).serialize())
+    assert sorted(a.window) == [100, 101, 102], "far-future ACK completed slots"
+    # Stale ACK (behind base) also a no-op.
+    a.on_frame_received(ControlFrame.make_ack("VE3ABC", 0x1234, 42).serialize())
+    assert sorted(a.window) == [100, 101, 102]
+    # In-window cumulative ACK still works.
+    a.on_frame_received(ControlFrame.make_ack("VE3ABC", 0x1234, 101).serialize())
+    assert sorted(a.window) == [102]
