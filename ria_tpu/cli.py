@@ -27,8 +27,11 @@ def _build_waveform(args):
     mode = WaveformMode[args.waveform.upper()]
     # Defaults mirror the reference CLI (src/main.cpp:343-344): DQPSK R1/4
     # regardless of waveform — a bare `-w mcdpsk` must interoperate with a
-    # bare reference `ria -w mcdpsk`.
-    modulation = (args.modulation or "DQPSK").upper()
+    # bare reference `ria -w mcdpsk`.  OTFS carries coherent DD-grid
+    # constellations only, so its default is QPSK.
+    default_mod = ("QPSK" if mode in (WaveformMode.OTFS_EQ,
+                                      WaveformMode.OTFS_RAW) else "DQPSK")
+    modulation = (args.modulation or default_mod).upper()
     rate = (args.rate or "R1_4").upper()
     return create_waveform(mode, modulation, rate)
 
@@ -71,7 +74,11 @@ def cmd_ptx(args) -> int:
         # has no light preamble in the reference (encodeFrameLight falls
         # back to the full Schmidl-Cox preamble and its RX searches STS),
         # so a COX frame for a reference peer must carry the full preamble.
-        if wf.mode == WaveformMode.MC_DPSK:
+        # Fixed 4-CW framing (FrameInterleaver) is an OFDM/OTFS contract;
+        # the serial waveforms (MC-DPSK, Barker DPSK, MFSK) carry
+        # variable-CW frames (reference encodeFrame dispatch).
+        if wf.mode in (WaveformMode.MC_DPSK, WaveformMode.DPSK,
+                       WaveformMode.MFSK):
             frame = DataFrame.make_data(args.src, args.dst, 1, text.encode())
         else:
             frame = make_fixed_data_frame(args.src, args.dst, 1, text.encode(), wf.rate)
@@ -91,21 +98,16 @@ def cmd_ptx(args) -> int:
     return 0
 
 
-def cmd_prx(args) -> int:
-    from ria_tpu.phy.frame_v2 import ControlFrame, DataFrame, ConnectFrame
-
-    if args.input == "-":
-        raw = sys.stdin.buffer.read()
-    else:
-        raw = open(args.input, "rb").read()
-    audio = np.frombuffer(raw, np.float32)
-    print(f"read {len(audio)} samples ({len(audio)/48000.0:.2f}s)", file=sys.stderr)
-
-    wf = _build_waveform(args)
+def _try_waveform(wf, audio: np.ndarray):
+    """One waveform's full decode attempt: full preamble, light preamble,
+    then the bare-PING probe.  Returns ("frame", rx) / ("ping", sync) /
+    None."""
     rx = wf.rx_frame(audio)
     if not rx.ok and hasattr(wf, "detect_sync"):
         rx = wf.rx_frame(audio, light=True)
-    if not rx.ok and hasattr(wf, "acq_preamble"):
+    if rx.ok:
+        return ("frame", rx)
+    if hasattr(wf, "acq_preamble"):
         # PING probe: bare acquisition preamble with silence after the
         # training+ref block (reference prx PingReceivedCallback path).
         sync = wf.detect_sync(audio)
@@ -119,10 +121,82 @@ def cmd_prx(args) -> int:
                 r_t = float(np.sqrt(np.mean(np.square(train))))
                 r_p = float(np.sqrt(np.mean(np.square(post))))
                 if r_t > 0 and r_p < 0.6 * r_t:
-                    print(f"type=PING corr={sync['corr']:.2f} "
-                          f"cfo={sync['cfo_hz']:.1f} Hz")
-                    return 0
-    if not rx.ok:
+                    return ("ping", sync)
+    return None
+
+
+def _autodetect_candidates(args):
+    """Waveform candidates for `prx` without -w, ordered by detector the
+    way the reference's acquisition discovers a recording's contents
+    (src/main.cpp:56-63: chirp acquisition, PING/DATA discrimination):
+    chirp (MC-DPSK full + PING) -> ZC (MC-DPSK light) -> SC/LTS
+    (OFDM chirp light, then COX) -> OTFS -> Barker DPSK -> MFSK sweep.
+    The user's -m/-r (or the reference CLI defaults DQPSK R1/4) apply to
+    every candidate."""
+    from ria_tpu.phy.frame_v2 import WaveformMode
+    from ria_tpu.wave.api import create_waveform
+
+    mod = (args.modulation or "DQPSK").upper()
+    rate = (args.rate or "R1_4").upper()
+    out = []
+    for wm, m, r in [
+        (WaveformMode.MC_DPSK, mod, rate),       # chirp + ZC + PING
+        (WaveformMode.MC_DPSK, "DBPSK", rate),   # handshake frames
+        (WaveformMode.OFDM_CHIRP, mod, rate),    # LTS light + dual chirp
+        (WaveformMode.OFDM_CHIRP, mod, "R1_2"),
+        (WaveformMode.OFDM_COX, mod, rate),      # Schmidl-Cox
+        (WaveformMode.OFDM_COX, "QAM64", "R3_4"),
+        (WaveformMode.OTFS_EQ, "QPSK", "R1_4"),
+        (WaveformMode.OTFS_EQ, "QPSK", "R1_2"),
+        (WaveformMode.DPSK, mod, rate),          # Barker-13x3
+        (WaveformMode.DPSK, "DBPSK", rate),
+        (WaveformMode.MFSK, "MFSK16", rate),
+    ]:
+        try:
+            out.append(create_waveform(wm, m, r))
+        except Exception:
+            continue
+    # De-dup configurations the flags collapsed together.
+    seen, uniq = set(), []
+    for wf in out:
+        key = (wf.mode, wf.modulation, wf.rate)
+        if key not in seen:
+            seen.add(key)
+            uniq.append(wf)
+    return uniq
+
+
+def cmd_prx(args) -> int:
+    from ria_tpu.phy.frame_v2 import ControlFrame, DataFrame, ConnectFrame
+
+    if args.input == "-":
+        raw = sys.stdin.buffer.read()
+    else:
+        raw = open(args.input, "rb").read()
+    audio = np.frombuffer(raw, np.float32)
+    print(f"read {len(audio)} samples ({len(audio)/48000.0:.2f}s)", file=sys.stderr)
+
+    if args.waveform:
+        candidates = [_build_waveform(args)]
+    else:
+        candidates = _autodetect_candidates(args)
+    hit, rx, wf = None, None, None
+    for cand in candidates:
+        hit = _try_waveform(cand, audio)
+        if hit is not None:
+            wf = cand
+            break
+    if hit is not None and hit[0] == "ping":
+        sync = hit[1]
+        print(f"type=PING corr={sync['corr']:.2f} "
+              f"cfo={sync['cfo_hz']:.1f} Hz")
+        return 0
+    if hit is not None:
+        rx = hit[1]
+        if not args.waveform:
+            print(f"waveform={wf.mode.name} {wf.modulation} {wf.rate}",
+                  file=sys.stderr)
+    if rx is None or not rx.ok:
         print("no frame decoded")
         return 1
     fb = rx.frame_bytes
@@ -289,7 +363,9 @@ def main(argv=None) -> int:
 
     prx = sub.add_parser("prx", help="decode f32 samples")
     prx.add_argument("input", help="file path or - for stdin")
-    prx.add_argument("-w", "--waveform", default="MC_DPSK")
+    prx.add_argument("-w", "--waveform", default=None,
+                     help="waveform (omit to auto-detect: chirp -> ZC -> "
+                          "SC/LTS -> OTFS -> Barker -> MFSK)")
     prx.add_argument("-m", "--modulation", default=None)
     prx.add_argument("-r", "--rate", default=None)
     prx.set_defaults(fn=cmd_prx)

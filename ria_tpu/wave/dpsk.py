@@ -134,11 +134,19 @@ def find_preamble(samples: jnp.ndarray, cfg: DPSKConfig) -> DPSKSyncResult:
         diff = jnp.real(z[..., 1:] * jnp.conj(z[..., :-1]))
         num = jnp.sum(diff * dtemplate, axis=-1)
         den = jnp.sum(jnp.abs(diff), axis=-1) + 1e-9
-        return num / den
+        return jnp.stack([num / den, num], axis=-1)
 
     offs = jnp.arange(num_off) * step
-    scores = jnp.moveaxis(jax.vmap(score_at)(offs), 0, -1)
-    best = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    both = jnp.moveaxis(jax.vmap(score_at)(offs), 0, -2)
+    scores, energies = both[..., 0], both[..., 1]
+    # Coarse peak by UNNORMALIZED matched-filter energy: Barker-13x3 is
+    # 13-symbol periodic, so against a silent lead-in a PARTIAL overlap 13
+    # symbols early scores a perfect normalized correlation (silence
+    # symbols contribute 0 to both num and den) and the normalized argmax
+    # false-locks one repetition early.  Energy peaks only at the full
+    # overlap; the normalized value AT that offset still provides the
+    # amplitude-independent detection threshold.
+    best = jnp.argmax(energies, axis=-1).astype(jnp.int32)
     coarse = best * step
 
     # Fine pass: maximize total symbol-integration energy around the coarse
