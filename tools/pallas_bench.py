@@ -34,7 +34,7 @@ def main(argv=None) -> int:
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     from ria_tpu.fec.ldpc import make_decoder, make_encoder
     from ria_tpu.fec.ldpc_matrix import get_code
-    from ria_tpu.fec.ldpc_pallas import make_pallas_decoder
+    from ria_tpu.fec.ldpc_pallas import make_pallas_decoder, make_pallas_decoder_v1
 
     code = get_code(args.rate)
     rng = np.random.default_rng(0)
@@ -47,6 +47,7 @@ def main(argv=None) -> int:
 
     results = {}
     for name, dec in [("pallas", make_pallas_decoder(args.rate, tile=args.tile)),
+                      ("pallas1", make_pallas_decoder_v1(args.rate, tile=args.tile)),
                       ("xla", make_decoder(args.rate))]:
         r = dec(llr)
         jax.block_until_ready(r.llr_total)
