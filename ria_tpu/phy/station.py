@@ -126,6 +126,17 @@ class Station:
         # waveforms' spectral SNR estimator for frames whose inter-frame
         # gap was already consumed.
         self._noise_floor: float | None = None
+        # Floor readings rejected by the contamination guard below.  The
+        # guard alone is a one-way ratchet: a floor learned during a
+        # quieter-than-operational stretch (the simulator's idle noise
+        # rides last_rms=0.1 while frames carry 2-4x that; a real radio's
+        # band noise can simply rise) makes every TRUE reading >= 4x the
+        # tracked value and permanently rejected, pinning session SNR
+        # exactly +6 dB high (measured: 15 dB AWGN read 21, the ladder
+        # upgraded past D8PSK into QAM16 R3/4).  Persistent evidence
+        # breaks the ratchet: 3 consecutive rejected idle windows mean
+        # the floor really moved, so relearn from their minimum.
+        self._floor_rejects: list[float] = []
 
         from ria_tpu.fec.chase import ChaseCache
         from ria_tpu.phy.adaptive import LinkAdapter
@@ -534,12 +545,23 @@ class Station:
                     nf = measure_noise_floor(self.rx_buffer[max(0, mp - 8192):mp])
                     # Guard: a window far above the current floor is signal
                     # (e.g. an OFDM body ahead of its detected preamble), not
-                    # a quieter channel — skip rather than learn it.
-                    if (nf is not None and nf > 0.0
-                            and (self._noise_floor is None
-                                 or nf < 4.0 * self._noise_floor)):
-                        self._noise_floor = (nf if self._noise_floor is None
-                                             else 0.5 * self._noise_floor + 0.5 * nf)
+                    # a quieter channel — skip rather than learn it.  But a
+                    # PERSISTENT high reading in idle (no-sync) windows is a
+                    # genuinely risen floor, which the guard alone would
+                    # reject forever (see _floor_rejects above): after 3
+                    # consecutive rejections relearn from their minimum,
+                    # robust to one window still holding missed signal.
+                    if nf is not None and nf > 0.0:
+                        if (self._noise_floor is None
+                                or nf < 4.0 * self._noise_floor):
+                            self._noise_floor = (nf if self._noise_floor is None
+                                                 else 0.5 * self._noise_floor + 0.5 * nf)
+                            self._floor_rejects.clear()
+                        else:
+                            self._floor_rejects.append(nf)
+                            if len(self._floor_rejects) >= 3:
+                                self._noise_floor = min(self._floor_rejects)
+                                self._floor_rejects.clear()
                 keep = 140000
                 if len(self.rx_buffer) > keep and mp >= len(self.rx_buffer) - keep:
                     self._consume(len(self.rx_buffer) - keep)

@@ -284,7 +284,14 @@ def apply_channel_stream(x: jnp.ndarray, key: jax.Array, cfg: ChannelConfig,
     nz = (jnp.abs(x) > 1e-6).astype(jnp.float32)
     count = jnp.maximum(jnp.sum(nz, axis=-1, keepdims=True), 1.0)
     power = jnp.sum(jnp.square(x) * nz, axis=-1, keepdims=True) / count
-    has_signal = jnp.sum(nz, axis=-1, keepdims=True) > 0
+    # A block must carry a meaningful signal FRACTION (>10%) to set the
+    # noise level: a frame's band-FIR ring-out tail spilling into the next
+    # block (~10 ms of tapered samples, nz-rms ~0.09 vs the frame's 0.21)
+    # otherwise collapses last_rms by ~7 dB, the inter-frame noise drops
+    # with it, and a receiver that tracks its floor from idle windows
+    # over-reads the next frame's SNR by the same 7 dB (measured: 15 dB
+    # AWGN sessions read ~21 and the ladder upgraded into QAM16 R3/4).
+    has_signal = jnp.sum(nz, axis=-1, keepdims=True) > 0.1 * n
     # Stationary noise (DELIBERATE DEVIATION from the reference's per-call
     # 0.1 fallback, hf_channel.hpp:110-128): silence blocks keep the noise
     # level of the LAST signal-bearing block, like the reference's

@@ -45,7 +45,13 @@ REF_BIN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 REF_TO_US = [
     ("ref_ofdm_dqpsk_r1_4.f32", "OFDM_CHIRP", "DQPSK", "R1_4"),
     ("ref_ofdm_dqpsk_r1_2.f32", "OFDM_CHIRP", "DQPSK", "R1_2"),
+    ("ref_ofdm_dqpsk_r2_3.f32", "OFDM_CHIRP", "DQPSK", "R2_3"),
+    ("ref_ofdm_dqpsk_r3_4.f32", "OFDM_CHIRP", "DQPSK", "R3_4"),
+    ("ref_ofdm_d8psk_r1_2.f32", "OFDM_CHIRP", "D8PSK", "R1_2"),
     ("ref_ofdm_qam16_r1_2.f32", "OFDM_CHIRP", "QAM16", "R1_2"),
+    ("ref_ofdm_qam32_r3_4.f32", "OFDM_CHIRP", "QAM32", "R3_4"),
+    ("ref_cox_qpsk_r1_2.f32", "OFDM_COX", "QPSK", "R1_2"),
+    ("ref_cox_qam16_r3_4.f32", "OFDM_COX", "QAM16", "R3_4"),
     ("ref_cox_qam64_r3_4.f32", "OFDM_COX", "QAM64", "R3_4"),
     ("ref_mcdpsk_dqpsk_r1_4.f32", "MC_DPSK", "DQPSK", "R1_4"),
 ]
@@ -106,7 +112,13 @@ def _ref_binary() -> str | None:
 MINE_TO_REF = [
     ("OFDM_CHIRP", "ofdm", "DQPSK", "dqpsk", "R1_4", "r1_4"),
     ("OFDM_CHIRP", "ofdm", "DQPSK", "dqpsk", "R1_2", "r1_2"),
+    ("OFDM_CHIRP", "ofdm", "DQPSK", "dqpsk", "R2_3", "r2_3"),
+    ("OFDM_CHIRP", "ofdm", "DQPSK", "dqpsk", "R3_4", "r3_4"),
+    ("OFDM_CHIRP", "ofdm", "D8PSK", "d8psk", "R1_2", "r1_2"),
     ("OFDM_CHIRP", "ofdm", "QAM16", "qam16", "R1_2", "r1_2"),
+    ("OFDM_CHIRP", "ofdm", "QAM32", "qam32", "R3_4", "r3_4"),
+    ("OFDM_COX", "cox", "QPSK", "qpsk", "R1_2", "r1_2"),
+    ("OFDM_COX", "cox", "QAM16", "qam16", "R3_4", "r3_4"),
     ("OFDM_COX", "cox", "QAM64", "qam64", "R3_4", "r3_4"),
 ]
 
